@@ -1,0 +1,50 @@
+"""Global configuration knobs for ppca_rs_tpu.
+
+The reference library (viodotcom/ppca_rs) has no config system — everything is
+plain function arguments (see SURVEY.md §5).  We keep that philosophy: the only
+things configured here are TPU-performance knobs that have no counterpart in the
+reference API and sensible defaults everywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+@dataclasses.dataclass
+class Config:
+    #: Number of samples processed per scan step inside the blocked EM/llk
+    #: reductions.  Bounds peak memory of the (block, D) and (block, k*k)
+    #: temporaries.  Must be a power of two.
+    block_size: int = 8192
+
+    #: jax.lax matmul precision for the hot contractions ("highest" = full f32
+    #: on the MXU; "default" allows bf16 passes).  Training numerics are
+    #: validated at "highest"; "default" trades accuracy for ~2-4x MXU speed.
+    matmul_precision: str = "highest"
+
+    #: Use the fused Pallas E-step kernel when running on TPU (falls back to
+    #: the pure-XLA path automatically elsewhere or when False).
+    use_pallas: bool = True
+
+    #: Use the native C++ host-side packing extension when available.
+    use_native: bool = True
+
+
+config = Config()
+
+if os.environ.get("PPCA_RS_TPU_NO_PALLAS"):
+    config.use_pallas = False
+if os.environ.get("PPCA_RS_TPU_NO_NATIVE"):
+    config.use_native = False
+
+
+def block_size_for(n: int) -> int:
+    """Pick the scan block size for an N-sample reduction: the configured block
+    size, shrunk to the smallest power of two >= n for small inputs so tiny
+    datasets don't pay for an 8k-row pad."""
+    b = config.block_size
+    while b >= 2 * max(n, 1):
+        b //= 2
+    return max(b, 8)

@@ -1,0 +1,202 @@
+"""Masked dataset container.
+
+TPU-native twin of the reference's ``MaskedSample``/``Dataset``
+(`ppca/src/dataset.rs`): instead of a ragged ``Vec<MaskedSample>`` of
+bitvec-masked vectors, we hold one dense zero-filled ``(N, D)`` value array,
+an ``(N, D)`` boolean mask (True = observed, matching the bit-set convention
+at `ppca/src/dataset.rs:10-22`) and an ``(N,)`` per-sample weight vector
+(default 1.0, `dataset.rs:93-100`).  Fixed dense shapes are what XLA needs to
+tile the EM onto the MXU.
+
+API parity with the Python bindings (`src/python_bindings.rs:28-166`):
+``Dataset(ndarray, weights=None)`` masks non-finite entries, ``numpy()``
+round-trips with NaN fill, ``dump``/``load``, ``__len__``, ``output_size``,
+``empty_dimensions``, ``weights``, ``chunks(n)`` -> ``DatasetChunks``, and
+static ``concat``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .utils.serialization import dump_bytes, load_bytes
+from .native import packing as _packing
+
+
+class Dataset:
+    """A dense masked dataset: values (zero-filled where masked), an
+    observed-mask and per-sample weights, all device arrays."""
+
+    __slots__ = ("data", "mask", "weights")
+
+    def __init__(self, ndarray=None, weights=None, *, _parts=None):
+        if _parts is not None:
+            self.data, self.mask, self.weights = _parts
+            return
+        if ndarray is None:
+            raise TypeError("Dataset() requires an (N, D) array")
+        arr = np.asarray(ndarray, dtype=np.float64)
+        if arr.ndim != 2:
+            raise ValueError(f"expected a 2D (N, D) array, got shape {arr.shape}")
+        # Non-finite entries (NaN/inf) are masked out, mirroring
+        # MaskedSample::mask_non_finite (ppca/src/dataset.rs:19-22).
+        filled, mask = _packing.mask_non_finite(arr)
+        self.data = jnp.asarray(filled)
+        self.mask = jnp.asarray(mask)
+        if weights is not None:
+            w = np.asarray(weights, dtype=np.float64).reshape(-1)
+            if w.shape[0] != arr.shape[0]:
+                raise ValueError("weights length must match number of samples")
+            self.weights = jnp.asarray(w, dtype=self.data.dtype)
+        else:
+            self.weights = jnp.ones((arr.shape[0],), dtype=self.data.dtype)
+
+    # ------------------------------------------------------------------ #
+    # constructors
+
+    @classmethod
+    def from_parts(cls, data, mask, weights=None) -> "Dataset":
+        """Build from already-prepared device arrays (data must be zero-filled
+        at masked entries)."""
+        data = jnp.asarray(data)
+        mask = jnp.asarray(mask, dtype=bool)
+        if weights is None:
+            weights = jnp.ones((data.shape[0],), dtype=data.dtype)
+        else:
+            weights = jnp.asarray(weights, dtype=data.dtype)
+        return cls(_parts=(data, mask, weights))
+
+    @classmethod
+    def unmasked(cls, data, weights=None) -> "Dataset":
+        """Fully-observed dataset (MaskedSample::unmasked, dataset.rs:29-35)."""
+        data = jnp.asarray(data)
+        return cls.from_parts(data, jnp.ones(data.shape, dtype=bool), weights)
+
+    def with_weights(self, weights) -> "Dataset":
+        """Same data, new weights — the cheap reweighting hook the mixture EM
+        uses (`dataset.rs:169-176`; data arrays are shared, not copied)."""
+        return Dataset.from_parts(self.data, self.mask, jnp.asarray(weights, dtype=self.data.dtype))
+
+    # ------------------------------------------------------------------ #
+    # basic accessors
+
+    def __len__(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def is_empty(self) -> bool:
+        return len(self) == 0
+
+    def output_size(self) -> Optional[int]:
+        """Number of output dimensions, or None for the empty dataset
+        (`dataset.rs:183-191`)."""
+        if self.is_empty():
+            return None
+        return int(self.data.shape[1])
+
+    def empty_dimensions(self) -> List[int]:
+        """Dimensions masked in *every* sample (`dataset.rs:193-222`)."""
+        if self.is_empty():
+            return []
+        any_observed = np.asarray(jnp.any(self.mask, axis=0))
+        return [int(i) for i in np.nonzero(~any_observed)[0]]
+
+    def numpy(self) -> np.ndarray:
+        """NaN-filled (N, D) round-trip (`src/python_bindings.rs:81-92`)."""
+        data = np.asarray(self.data, dtype=np.float64)
+        mask = np.asarray(self.mask)
+        return np.where(mask, data, np.nan)
+
+    def weights_numpy(self) -> np.ndarray:
+        return np.asarray(self.weights, dtype=np.float64)
+
+    # Parity alias: the bindings expose `weights()` as a method
+    # (`src/python_bindings.rs:106-108`).
+    def weights_(self) -> np.ndarray:  # pragma: no cover - thin alias
+        return self.weights_numpy()
+
+    # ------------------------------------------------------------------ #
+    # serialization
+
+    def dump(self) -> bytes:
+        """Stable bytes (API twin of the bincode dump at
+        `src/python_bindings.rs:74-79`; byte format is ours, see SURVEY §5)."""
+        return dump_bytes(
+            "dataset",
+            {
+                "data": np.asarray(self.data, dtype=np.float64),
+                "mask": np.asarray(self.mask),
+                "weights": np.asarray(self.weights, dtype=np.float64),
+            },
+        )
+
+    @staticmethod
+    def load(data: bytes) -> "Dataset":
+        arrays, _ = load_bytes(data, "dataset")
+        return Dataset.from_parts(arrays["data"], arrays["mask"], arrays["weights"])
+
+    def __getstate__(self):
+        return self.dump()
+
+    def __setstate__(self, state):
+        other = Dataset.load(state)
+        self.data, self.mask, self.weights = other.data, other.mask, other.weights
+
+    def __reduce__(self):
+        return (Dataset.load, (self.dump(),))
+
+    # ------------------------------------------------------------------ #
+    # slicing
+
+    def slice(self, start: int, stop: int) -> "Dataset":
+        return Dataset.from_parts(
+            self.data[start:stop], self.mask[start:stop], self.weights[start:stop]
+        )
+
+    def chunks(self, chunks: int) -> "DatasetChunks":
+        """Iterator over ``chunks`` contiguous pieces with stride
+        ``ceil(len / chunks)`` (`src/python_bindings.rs:110-118,136-166`)."""
+        stride = -(-len(self) // chunks) if chunks > 0 else len(self)
+        return DatasetChunks(self, max(stride, 1))
+
+    @staticmethod
+    def concat(datasets: Sequence["Dataset"]) -> "Dataset":
+        """Concatenate datasets (`src/python_bindings.rs:120-133`)."""
+        datasets = list(datasets)
+        if not datasets:
+            raise ValueError("cannot concat an empty list of datasets")
+        return Dataset.from_parts(
+            jnp.concatenate([d.data for d in datasets], axis=0),
+            jnp.concatenate([d.mask for d in datasets], axis=0),
+            jnp.concatenate([d.weights for d in datasets], axis=0),
+        )
+
+    def __repr__(self) -> str:
+        return f"Dataset(len={len(self)}, output_size={self.output_size()}, dtype={self.dtype})"
+
+
+class DatasetChunks:
+    """Iterator of Dataset slices (`src/python_bindings.rs:136-166`)."""
+
+    def __init__(self, dataset: Dataset, stride: int):
+        self._dataset = dataset
+        self._stride = stride
+        self._position = 0
+
+    def __iter__(self) -> Iterator[Dataset]:
+        return self
+
+    def __next__(self) -> Dataset:
+        if self._position >= len(self._dataset):
+            raise StopIteration
+        start = self._position
+        stop = min(len(self._dataset), start + self._stride)
+        self._position += self._stride
+        return self._dataset.slice(start, stop)

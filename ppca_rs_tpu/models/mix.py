@@ -1,0 +1,423 @@
+"""PPCA mixture models — rebuild of `ppca/src/mix.rs`.
+
+A mixture of :class:`PPCAModel` components with log-domain prior weights.
+Components may have different state sizes but must share the output size
+(`mix.rs:41-64`).  The mixture EM is the layered composition the reference
+uses (`mix.rs:281-337`): per-sample responsibilities become per-sample
+weights for each component's inner EM — which is what makes
+``Dataset.with_weights`` load-bearing.
+
+All N-sized math runs through the same jitted blocked kernels as the single
+model; the Python-level loop is only over the M (small) components, which
+also naturally supports heterogeneous state sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dataset import Dataset
+from ..prior import Prior
+from ..utils.rng import ensure_key
+from ..utils.serialization import dump_bytes, load_bytes
+from .ppca import InferredMasked, PosteriorSampler, PPCAModel, _precision
+
+
+@jax.jit
+def _log_softmax_jit(x):
+    """Max-shifted log-softmax (`mix.rs:14-18`)."""
+    m = jnp.max(x, axis=-1, keepdims=True)
+    return x - m - jnp.log(jnp.sum(jnp.exp(x - m), axis=-1, keepdims=True))
+
+
+@jax.jit
+def _logsumexp_jit(x):
+    """Robust logsumexp (`mix.rs:20-25`)."""
+    m = jnp.max(x, axis=-1)
+    return m + jnp.log(jnp.sum(jnp.exp(x - m[..., None]), axis=-1))
+
+
+class PPCAMix:
+    """A mixture of PPCA models (`mix.rs:27-347`)."""
+
+    __slots__ = ("_models", "_log_weights", "_output_size")
+
+    def __init__(self, models: List[PPCAModel], log_weights):
+        models = list(models)
+        if not models:
+            raise ValueError("mixture must have at least one component")
+        lw = np.asarray(log_weights, dtype=np.float64).reshape(-1)
+        if lw.shape[0] != len(models):
+            raise ValueError("log_weights length must match number of models")
+        sizes = {m.output_size for m in models}
+        if len(sizes) != 1:
+            raise ValueError(f"Model output sizes are not the same: {[m.output_size for m in models]}")
+        self._models = models
+        self._output_size = models[0].output_size
+        dtype = models[0]._transform.dtype
+        self._log_weights = _log_softmax_jit(jnp.asarray(lw, dtype=dtype))
+
+    @staticmethod
+    def init(n_models: int, state_size: int, dataset: Dataset, key=None) -> "PPCAMix":
+        """n_models random untrained components, uniform weights
+        (`mix.rs:76-83`)."""
+        key = ensure_key(key)
+        keys = jax.random.split(key, n_models)
+        return PPCAMix(
+            [PPCAModel.init(state_size, dataset, key=k) for k in keys],
+            np.zeros(n_models),
+        )
+
+    # ------------------------------------------------------------------ #
+    # accessors (mix.rs:85-119)
+
+    @property
+    def output_size(self) -> int:
+        return self._output_size
+
+    @property
+    def state_sizes(self) -> List[int]:
+        return [m.state_size for m in self._models]
+
+    @property
+    def n_parameters(self) -> int:
+        """Component parameters plus the M-1 free mixture weights
+        (`mix.rs:96-104`)."""
+        return sum(m.n_parameters for m in self._models) + len(self._models) - 1
+
+    @property
+    def models(self) -> List[PPCAModel]:
+        return list(self._models)
+
+    @property
+    def log_weights(self) -> np.ndarray:
+        return np.asarray(self._log_weights)
+
+    @property
+    def weights(self) -> np.ndarray:
+        return np.asarray(jnp.exp(self._log_weights))
+
+    def __repr__(self) -> str:
+        return f"PPCAMix(n_models={len(self._models)}, state_sizes={self.state_sizes})"
+
+    # ------------------------------------------------------------------ #
+    # serialization
+
+    def dump(self) -> bytes:
+        arrays = {"log_weights": np.asarray(self._log_weights, dtype=np.float64)}
+        for i, m in enumerate(self._models):
+            arrays[f"transform_{i}"] = np.asarray(m._transform, dtype=np.float64)
+            arrays[f"mean_{i}"] = np.asarray(m._mean, dtype=np.float64)
+            arrays[f"isotropic_noise_{i}"] = np.asarray(m.isotropic_noise, dtype=np.float64)
+        return dump_bytes("ppca_mix", arrays, {"n_models": len(self._models)})
+
+    @staticmethod
+    def load(data: bytes) -> "PPCAMix":
+        arrays, meta = load_bytes(data, "ppca_mix")
+        n = int(meta["n_models"])
+        models = [
+            PPCAModel(
+                isotropic_noise=float(arrays[f"isotropic_noise_{i}"]),
+                transform=arrays[f"transform_{i}"],
+                mean=arrays[f"mean_{i}"],
+            )
+            for i in range(n)
+        ]
+        return PPCAMix(models, arrays["log_weights"])
+
+    def __getstate__(self):
+        return self.dump()
+
+    def __setstate__(self, state):
+        other = PPCAMix.load(state)
+        self._models = other._models
+        self._log_weights = other._log_weights
+        self._output_size = other._output_size
+
+    def __reduce__(self):
+        return (PPCAMix.load, (self.dump(),))
+
+    # ------------------------------------------------------------------ #
+    # likelihood (mix.rs:136-174)
+
+    def _component_llks(self, dataset: Dataset) -> jnp.ndarray:
+        """(N, M) per-component per-sample log-likelihoods."""
+        cols = [jnp.asarray(m.llks(dataset)) for m in self._models]
+        return jnp.stack(cols, axis=1)
+
+    def llks(self, dataset: Dataset) -> np.ndarray:
+        """Per-sample mixture log-likelihood: logsumexp over components of
+        llk + log weight (`mix.rs:147-159`)."""
+        per = self._component_llks(dataset)
+        return np.asarray(_logsumexp_jit(per + self._log_weights[None, :]))
+
+    def llk(self, dataset: Dataset) -> float:
+        """Weighted total mixture log-likelihood (`mix.rs:162-174`)."""
+        if dataset.is_empty():
+            return 0.0
+        per = self._component_llks(dataset)
+        mix_llk = _logsumexp_jit(per + self._log_weights[None, :])
+        return float(jnp.sum(mix_llk * dataset.weights))
+
+    def infer_cluster(self, dataset: Dataset) -> np.ndarray:
+        """(N, M) per-sample *log*-posterior over components — the reference
+        returns the log-softmax values despite its doc comment speaking of
+        probabilities (`mix.rs:179-189`); we match the code."""
+        per = self._component_llks(dataset)
+        return np.asarray(_log_softmax_jit(per + self._log_weights[None, :]))
+
+    # ------------------------------------------------------------------ #
+    # sampling (mix.rs:121-134)
+
+    def sample(self, dataset_size: int, mask_probability: float, key=None) -> Dataset:
+        """Ancestral sampling: component index from the prior weights, then
+        that component's generative model."""
+        key = ensure_key(key)
+        kc, ks = jax.random.split(key)
+        comp = jax.random.categorical(kc, self._log_weights, shape=(dataset_size,))
+        keys = jax.random.split(ks, len(self._models))
+        data = None
+        mask = None
+        for i, (m, ki) in enumerate(zip(self._models, keys)):
+            ds_i = m.sample(dataset_size, mask_probability, key=ki)
+            sel = (comp == i)[:, None]
+            if data is None:
+                data, mask = ds_i.data, ds_i.mask
+            else:
+                data = jnp.where(sel, ds_i.data, data)
+                mask = jnp.where(sel, ds_i.mask, mask)
+        return Dataset.from_parts(data, mask)
+
+    # ------------------------------------------------------------------ #
+    # inference (mix.rs:193-265)
+
+    def infer(self, dataset: Dataset) -> "InferredMaskedMix":
+        per = self._component_llks(dataset)
+        log_post = _log_softmax_jit(per + self._log_weights[None, :])
+        inferred = [m.infer(dataset) for m in self._models]
+        return InferredMaskedMix(self, log_post, inferred)
+
+    def smooth(self, dataset: Dataset) -> Dataset:
+        """Posterior-weighted mixture of component smoothings
+        (`mix.rs:239-251`)."""
+        return self.infer(dataset).smoothed(self)
+
+    def extrapolate(self, dataset: Dataset) -> Dataset:
+        """Posterior-weighted mixture of component extrapolations
+        (`mix.rs:253-265`)."""
+        return self.infer(dataset).extrapolated(self, dataset)
+
+    # ------------------------------------------------------------------ #
+    # EM (mix.rs:267-337)
+
+    def iterate(self, dataset: Dataset) -> "PPCAMix":
+        return self.iterate_with_prior(dataset, Prior())
+
+    def iterate_with_prior(self, dataset: Dataset, prior: Prior) -> "PPCAMix":
+        """One mixture EM iteration: responsibilities in the log domain, then
+        a reweighted inner EM per component (`mix.rs:281-337`)."""
+        per = self._component_llks(dataset)                      # (N, M)
+        log_post = _log_softmax_jit(per + self._log_weights[None, :])
+        log_w_data = jnp.log(dataset.weights)                    # -inf for w=0 drops the sample
+        new_models: List[PPCAModel] = []
+        new_log_weights: List[jnp.ndarray] = []
+        for i, model in enumerate(self._models):
+            lp = log_w_data + log_post[:, i]
+            max_lp = jnp.max(lp)
+            # Un-normalized posteriors as weights for numerical stability; one
+            # entry is guaranteed to be 1 (mix.rs:310-323).
+            unnorm = jnp.exp(lp - max_lp)
+            logsum = jnp.log(jnp.sum(unnorm)) + max_lp
+            reweighted = dataset.with_weights(unnorm)
+            new_models.append(model.iterate_with_prior(reweighted, prior))
+            new_log_weights.append(logsum)
+        return PPCAMix(new_models, jnp.stack(new_log_weights))
+
+    def to_canonical(self) -> "PPCAMix":
+        """Map PPCAModel::to_canonical over components (`mix.rs:340-346`)."""
+        out = PPCAMix.__new__(PPCAMix)
+        out._models = [m.to_canonical() for m in self._models]
+        out._log_weights = self._log_weights
+        out._output_size = self._output_size
+        return out
+
+
+class InferredMaskedMix:
+    """Batch of mixture posteriors (`mix.rs:349-515` /
+    `src/python_bindings.rs:713-905`).
+
+    NOTE on ``states()``: the reference's ``InferredMaskedMix::state`` weights
+    component states by the *log*-posterior entries directly
+    (`mix.rs:374-380`) while every other moment-matched readout uses
+    ``exp(log_posterior)``.  SURVEY.md §2 flags this as an apparent bug; we
+    implement the mathematically consistent version (exponentiated weights)
+    and record the deviation here.
+    """
+
+    def __init__(self, mix: PPCAMix, log_posteriors, inferred: List[InferredMasked]):
+        self._mix = mix
+        self._log_post = log_posteriors        # (N, M)
+        self._inferred = inferred              # M × InferredMasked(batch)
+
+    def __len__(self) -> int:
+        return int(self._log_post.shape[0])
+
+    def log_posteriors(self) -> np.ndarray:
+        return np.asarray(self._log_post)
+
+    def posteriors(self) -> np.ndarray:
+        return np.asarray(jnp.exp(self._log_post))
+
+    def sub_states(self) -> List[InferredMasked]:
+        return list(self._inferred)
+
+    def _require_equal_state_sizes(self):
+        sizes = {inf._states.shape[1] for inf in self._inferred}
+        if len(sizes) != 1:
+            raise ValueError(
+                "moment-matched state readouts require all components to share "
+                f"a state size; got {sorted(sizes)}"
+            )
+
+    def states(self) -> np.ndarray:
+        """Moment-matched posterior state means (see class note)."""
+        self._require_equal_state_sizes()
+        post = jnp.exp(self._log_post)
+        out = sum(
+            post[:, i : i + 1] * inf._states for i, inf in enumerate(self._inferred)
+        )
+        return np.asarray(out)
+
+    def covariances(self) -> List[np.ndarray]:
+        """Law-of-total-variance state covariances (`mix.rs:383-394`)."""
+        self._require_equal_state_sizes()
+        post = jnp.exp(self._log_post)
+        mean = sum(post[:, i : i + 1] * inf._states for i, inf in enumerate(self._inferred))
+        total = 0.0
+        for i, inf in enumerate(self._inferred):
+            d = inf._states - mean
+            total = total + post[:, i, None, None] * (
+                inf._covariances + d[:, :, None] * d[:, None, :]
+            )
+        return list(np.asarray(total))
+
+    # -- output-space readouts ------------------------------------------ #
+
+    def _component_smoothed(self) -> List[jnp.ndarray]:
+        return [
+            inf._states @ m._transform.T + m._mean
+            for inf, m in zip(self._inferred, self._mix._models)
+        ]
+
+    def smoothed(self, mix: PPCAMix) -> Dataset:
+        """Posterior-weighted mixture of component smoothings (`mix.rs:397-404`)."""
+        post = jnp.exp(self._log_post)
+        with _precision():
+            out = sum(post[:, i : i + 1] * sm for i, sm in enumerate(self._component_smoothed()))
+        return Dataset.unmasked(out)
+
+    def extrapolated(self, mix: PPCAMix, dataset: Dataset) -> Dataset:
+        """(`mix.rs:407-414`)"""
+        post = jnp.exp(self._log_post)
+        with _precision():
+            out = 0.0
+            for i, sm in enumerate(self._component_smoothed()):
+                extr = jnp.where(dataset.mask, dataset.data, sm)
+                out = out + post[:, i : i + 1] * extr
+        return Dataset.unmasked(out)
+
+    def smoothed_covariances(self, mix: PPCAMix) -> List[np.ndarray]:
+        """Full (D, D) with between-component spread (`mix.rs:422-435`)."""
+        post = jnp.exp(self._log_post)
+        sms = self._component_smoothed()
+        with _precision():
+            mean = sum(post[:, i : i + 1] * sm for i, sm in enumerate(sms))
+            total = 0.0
+            for i, (inf, m) in enumerate(zip(self._inferred, self._mix._models)):
+                from .ppca import _smoothed_cov_full_jit
+                cov = _smoothed_cov_full_jit(m._transform, m._isotropic_noise, inf._covariances)
+                d = sms[i] - mean
+                total = total + post[:, i, None, None] * (cov + d[:, :, None] * d[:, None, :])
+        return list(np.asarray(total))
+
+    def smoothed_covariances_diagonal(self, mix: PPCAMix) -> Dataset:
+        """(`mix.rs:443-455`)"""
+        from .ppca import _smoothed_cov_diag_jit
+
+        post = jnp.exp(self._log_post)
+        sms = self._component_smoothed()
+        with _precision():
+            mean = sum(post[:, i : i + 1] * sm for i, sm in enumerate(sms))
+            total = 0.0
+            for i, (inf, m) in enumerate(zip(self._inferred, self._mix._models)):
+                diag = _smoothed_cov_diag_jit(m._transform, m._isotropic_noise, inf._covariances)
+                total = total + post[:, i : i + 1] * (diag + (sms[i] - mean) ** 2)
+        return Dataset.unmasked(total)
+
+    def extrapolated_covariances(self, mix: PPCAMix, dataset: Dataset) -> List[np.ndarray]:
+        """Full (D, D): per-component *smoothed* covariance plus the spread of
+        the extrapolations — matching the reference exactly, which combines
+        ``smoothed_covariance`` with extrapolated spreads (`mix.rs:464-477`)."""
+        from .ppca import _smoothed_cov_full_jit
+
+        post = jnp.exp(self._log_post)
+        sms = self._component_smoothed()
+        with _precision():
+            extrs = [jnp.where(dataset.mask, dataset.data, sm) for sm in sms]
+            mean = sum(post[:, i : i + 1] * ex for i, ex in enumerate(extrs))
+            total = 0.0
+            for i, (inf, m) in enumerate(zip(self._inferred, self._mix._models)):
+                cov = _smoothed_cov_full_jit(m._transform, m._isotropic_noise, inf._covariances)
+                d = extrs[i] - mean
+                total = total + post[:, i, None, None] * (cov + d[:, :, None] * d[:, None, :])
+        return list(np.asarray(total))
+
+    def extrapolated_covariances_diagonal(self, mix: PPCAMix, dataset: Dataset) -> Dataset:
+        """(`mix.rs:485-501`)"""
+        from .ppca import _extrapolated_cov_diag_jit
+
+        post = jnp.exp(self._log_post)
+        sms = self._component_smoothed()
+        with _precision():
+            extrs = [jnp.where(dataset.mask, dataset.data, sm) for sm in sms]
+            mean = sum(post[:, i : i + 1] * ex for i, ex in enumerate(extrs))
+            total = 0.0
+            for i, (inf, m) in enumerate(zip(self._inferred, self._mix._models)):
+                diag = _extrapolated_cov_diag_jit(
+                    m._transform, m._isotropic_noise, inf._covariances, dataset.mask
+                )
+                total = total + post[:, i : i + 1] * (diag + (extrs[i] - mean) ** 2)
+        return Dataset.unmasked(total)
+
+    def posterior_sampler(self) -> "PosteriorSamplerMix":
+        """(`mix.rs:505-514`)"""
+        samplers = [inf.posterior_sampler() for inf in self._inferred]
+        return PosteriorSamplerMix(self._log_post, samplers)
+
+
+class PosteriorSamplerMix:
+    """Ancestral batch sampler: component from the per-sample posterior, then
+    that component's posterior sampler (`mix.rs:517-532`).  A fresh component
+    index is drawn per sample on every ``sample()`` call, matching the
+    reference's per-draw ``WeightedIndex`` sampling."""
+
+    def __init__(self, log_posteriors, samplers: List[PosteriorSampler]):
+        self._log_post = log_posteriors
+        self._samplers = samplers
+
+    def sample(self, key=None) -> Dataset:
+        key = ensure_key(key)
+        kc, ks = jax.random.split(key)
+        comp = jax.random.categorical(kc, self._log_post, axis=-1)
+        keys = jax.random.split(ks, len(self._samplers))
+        out = None
+        for i, (sampler, ki) in enumerate(zip(self._samplers, keys)):
+            draw = sampler.sample(key=ki).data
+            sel = (comp == i)[:, None]
+            out = draw if out is None else jnp.where(sel, draw, out)
+        return Dataset.unmasked(out)

@@ -1,0 +1,521 @@
+"""Probabilistic PCA with missing data — TPU-native single model.
+
+Rebuild of `ppca/src/ppca_model.rs` (PPCAModel / InferredMasked /
+PosteriorSampler) on the mask-weighted dense algebra in
+:mod:`ppca_rs_tpu.ops.masked_linalg`.  The statistical model
+(`ppca_model.rs:24-40`):
+
+    x ~ N(0, I_k)            # latent state
+    y = C x + mu + eps       # observed, D dims
+    eps ~ N(0, sigma^2 I_D)  # isotropic noise
+
+Every heavy verb (llk/llks/infer/smooth/extrapolate/iterate) is a single
+jitted XLA program blocked over samples; the EM iteration is one fused pass
+producing both the updated parameters and the current log-likelihood.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import block_size_for, config
+from ..dataset import Dataset
+from ..ops import masked_linalg as ml
+from ..prior import Prior
+from ..utils.rng import ensure_key
+from ..utils.serialization import dump_bytes, load_bytes
+
+
+def _as_vector(arr, name: str) -> np.ndarray:
+    """Accept (D,), (D,1) or (1,D) arrays, like the bindings' numpy->vector
+    converter (`src/utils.rs:12-23`)."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 2:
+        if 1 in a.shape:
+            a = a.reshape(-1)
+        else:
+            raise ValueError(f"{name} must be a vector; got shape {a.shape}")
+    elif a.ndim != 1:
+        raise ValueError(f"{name} must be a vector; got shape {a.shape}")
+    return a
+
+
+def _precision():
+    return jax.default_matmul_precision(config.matmul_precision)
+
+
+# ===================================================================== #
+# jitted kernels (module-level so the compile cache is shared across model
+# instances with the same shapes)
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _llks_jit(C, mean, sigma, data, mask, block_size):
+    return ml.llks(C, mean, sigma, data, mask, block_size=block_size)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _llk_jit(C, mean, sigma, data, mask, weights, block_size):
+    per = ml.llks(C, mean, sigma, data, mask, block_size=block_size)
+    return jnp.sum(per * weights)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _infer_jit(C, mean, sigma, data, mask, block_size):
+    return ml.infer(C, mean, sigma, data, mask, block_size=block_size)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _em_step_jit(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, block_size):
+    stats = ml.em_stats(C, mean, sigma, data, mask, weights, block_size=block_size)
+    new_C, new_mean, new_sigma = ml.em_finalize(
+        C, mean, sigma, stats,
+        transformation_precision=tprec,
+        noise_prior=noise_prior,
+        mean_prior=mean_prior,
+    )
+    return new_C, new_mean, new_sigma, stats.llk
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _smooth_jit(C, mean, sigma, data, mask, block_size):
+    states, _ = ml.infer(C, mean, sigma, data, mask, block_size=block_size)
+    return states @ C.T + mean
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _extrapolate_jit(C, mean, sigma, data, mask, block_size):
+    states, _ = ml.infer(C, mean, sigma, data, mask, block_size=block_size)
+    smoothed = states @ C.T + mean
+    return jnp.where(mask, data, smoothed)
+
+
+@jax.jit
+def _smoothed_from_states_jit(C, mean, states):
+    return states @ C.T + mean
+
+
+@jax.jit
+def _smoothed_cov_diag_jit(C, sigma, covs):
+    # diag(C Sigma C^T)[d] = sum_{kl} C[d,k] Sigma[k,l] C[d,l]
+    #                      = (Sigma_flat @ CC_flat^T)[n, d]; one MXU matmul.
+    CC = ml.outer_flat(C)
+    n, k, _ = covs.shape
+    return covs.reshape(n, k * k) @ CC.T + sigma * sigma
+
+
+@jax.jit
+def _extrapolated_cov_diag_jit(C, sigma, covs, mask):
+    CC = ml.outer_flat(C)
+    n, k, _ = covs.shape
+    diag = covs.reshape(n, k * k) @ CC.T + sigma * sigma
+    # Observed dims have zero extrapolation variance (ppca_model.rs:542-577).
+    return jnp.where(mask, jnp.zeros_like(diag), diag)
+
+
+@jax.jit
+def _smoothed_cov_full_jit(C, sigma, covs):
+    full = jnp.einsum("dk,nkl,el->nde", C, covs, C)
+    D = C.shape[0]
+    return full + (sigma * sigma) * jnp.eye(D, dtype=C.dtype)
+
+
+@jax.jit
+def _extrapolated_cov_full_jit(C, sigma, covs, mask):
+    full = _smoothed_cov_full_jit(C, sigma, covs)
+    neg = (~mask).astype(C.dtype)
+    return full * neg[:, :, None] * neg[:, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "state_size"))
+def _sample_jit(C, mean, sigma, n, state_size, mask_prob, key):
+    """Generative sampling with Bernoulli masking (`ppca_model.rs:164-191`)."""
+    kz, ke, km = jax.random.split(key, 3)
+    dtype = C.dtype
+    D = C.shape[0]
+    z = jax.random.normal(kz, (n, state_size), dtype=dtype)
+    eps = jax.random.normal(ke, (n, D), dtype=dtype)
+    values = z @ C.T + mean + sigma * eps
+    observed = jax.random.bernoulli(km, 1.0 - mask_prob, (n, D))
+    return jnp.where(observed, values, 0.0), observed
+
+
+@jax.jit
+def _posterior_sample_jit(C, mean, sigma, states, chol, key):
+    """One posterior draw per sample: y = sigma z2 + mu + C (s + L z1)
+    (`ppca_model.rs:603-626` — note the reference *does* include the output
+    noise term despite its doc comment; we match the code)."""
+    k1, k2 = jax.random.split(key)
+    n, k = states.shape
+    dtype = C.dtype
+    z1 = jax.random.normal(k1, (n, k), dtype=dtype)
+    z2 = jax.random.normal(k2, (n, C.shape[0]), dtype=dtype)
+    s = states + jnp.einsum("nkl,nl->nk", chol, z1)
+    return sigma * z2 + mean + s @ C.T
+
+
+@jax.jit
+def _to_canonical_jit(C):
+    """SVD-orthogonalize with V := I and sign-fix columns by the sign of the
+    column sum (`ppca_model.rs:398-425`)."""
+    U, svals, _ = jnp.linalg.svd(C, full_matrices=False)
+    new_C = U * svals[None, :]
+    col_sums = jnp.sum(new_C, axis=0)
+    signs = jnp.where(col_sums >= 0, 1.0, -1.0).astype(C.dtype)
+    return new_C * signs[None, :]
+
+
+# ===================================================================== #
+
+
+class PPCAModel:
+    """A PPCA model which can infer missing values (`ppca_model.rs:24-40`)."""
+
+    __slots__ = ("_transform", "_mean", "_isotropic_noise")
+
+    def __init__(self, isotropic_noise=None, transform=None, mean=None):
+        if transform is None or mean is None or isotropic_noise is None:
+            raise TypeError("PPCAModel requires isotropic_noise, transform and mean")
+        t = np.asarray(transform, dtype=np.float64)
+        if t.ndim != 2:
+            raise ValueError(f"transform must be 2D (D, state_size); got {t.shape}")
+        m = _as_vector(mean, "mean")
+        if m.shape[0] != t.shape[0]:
+            raise ValueError(
+                f"mean length {m.shape[0]} does not match transform rows {t.shape[0]}"
+            )
+        self._transform = jnp.asarray(t)
+        self._mean = jnp.asarray(m, dtype=self._transform.dtype)
+        self._isotropic_noise = jnp.asarray(float(isotropic_noise), dtype=self._transform.dtype)
+
+    @classmethod
+    def _from_params(cls, transform, mean, isotropic_noise) -> "PPCAModel":
+        obj = object.__new__(cls)
+        obj._transform = transform
+        obj._mean = mean
+        obj._isotropic_noise = isotropic_noise
+        return obj
+
+    # ------------------------------------------------------------------ #
+    # construction
+
+    @staticmethod
+    def init(state_size: int, dataset: Dataset, key=None) -> "PPCAModel":
+        """Random untrained model: C ~ N(0,1) with empty-dimension rows
+        zeroed, sigma = 1, mu = 0 (`ppca_model.rs:51-70`)."""
+        if dataset.is_empty():
+            raise ValueError("dataset must not be empty")
+        output_size = dataset.output_size()
+        key = ensure_key(key)
+        C = jax.random.normal(key, (output_size, state_size), dtype=dataset.dtype)
+        empty = dataset.empty_dimensions()
+        if empty:
+            C = C.at[jnp.asarray(empty, dtype=jnp.int32)].set(0.0)
+        mean = jnp.zeros((output_size,), dtype=dataset.dtype)
+        return PPCAModel._from_params(C, mean, jnp.asarray(1.0, dtype=dataset.dtype))
+
+    # ------------------------------------------------------------------ #
+    # accessors (ppca_model.rs:73-121; exposed as properties like the
+    # bindings, src/python_bindings.rs:403-447)
+
+    @property
+    def transform(self) -> np.ndarray:
+        return np.asarray(self._transform)
+
+    @property
+    def mean(self) -> np.ndarray:
+        return np.asarray(self._mean)
+
+    @property
+    def isotropic_noise(self) -> float:
+        return float(self._isotropic_noise)
+
+    @property
+    def output_size(self) -> int:
+        return int(self._transform.shape[0])
+
+    @property
+    def state_size(self) -> int:
+        return int(self._transform.shape[1])
+
+    @property
+    def n_parameters(self) -> int:
+        """1 + k*D + D (`ppca_model.rs:107-109`)."""
+        return 1 + self.state_size * self.output_size + self.output_size
+
+    @property
+    def singular_values(self) -> np.ndarray:
+        """sqrt of each column norm — matches the reference exactly, which
+        takes ``column.norm().sqrt()`` (`ppca_model.rs:113-121`)."""
+        norms = jnp.linalg.norm(self._transform, axis=0)
+        return np.asarray(jnp.sqrt(norms))
+
+    def __repr__(self) -> str:
+        return (
+            f"PPCAModel(isotropic_noise={self.isotropic_noise}, "
+            f"transform=array({self.transform.tolist()}), "
+            f"mean=array({self.mean.tolist()}))"
+        )
+
+    # ------------------------------------------------------------------ #
+    # serialization (src/python_bindings.rs:388-401,513-532)
+
+    def dump(self) -> bytes:
+        return dump_bytes(
+            "ppca_model",
+            {
+                "transform": np.asarray(self._transform, dtype=np.float64),
+                "mean": np.asarray(self._mean, dtype=np.float64),
+                "isotropic_noise": np.asarray(self.isotropic_noise, dtype=np.float64),
+            },
+        )
+
+    @staticmethod
+    def load(data: bytes) -> "PPCAModel":
+        arrays, _ = load_bytes(data, "ppca_model")
+        return PPCAModel(
+            isotropic_noise=float(arrays["isotropic_noise"]),
+            transform=arrays["transform"],
+            mean=arrays["mean"],
+        )
+
+    def __getstate__(self):
+        return self.dump()
+
+    def __setstate__(self, state):
+        other = PPCAModel.load(state)
+        self._transform = other._transform
+        self._mean = other._mean
+        self._isotropic_noise = other._isotropic_noise
+
+    def __reduce__(self):
+        return (PPCAModel.load, (self.dump(),))
+
+    # ------------------------------------------------------------------ #
+    # likelihood (ppca_model.rs:124-159)
+
+    def llk(self, dataset: Dataset) -> float:
+        """Weighted total log-likelihood (`ppca_model.rs:142-149`)."""
+        if dataset.is_empty():
+            return 0.0
+        with _precision():
+            out = _llk_jit(
+                self._transform, self._mean, self._isotropic_noise,
+                dataset.data, dataset.mask, dataset.weights,
+                block_size_for(len(dataset)),
+            )
+        return float(out)
+
+    def llks(self, dataset: Dataset) -> np.ndarray:
+        """Per-sample log-likelihoods (`ppca_model.rs:152-159`)."""
+        with _precision():
+            out = _llks_jit(
+                self._transform, self._mean, self._isotropic_noise,
+                dataset.data, dataset.mask, block_size_for(len(dataset)),
+            )
+        return np.asarray(out)
+
+    # ------------------------------------------------------------------ #
+    # sampling (ppca_model.rs:164-191)
+
+    def sample(self, dataset_size: int, mask_prob: float, key=None) -> Dataset:
+        key = ensure_key(key)
+        with _precision():
+            values, observed = _sample_jit(
+                self._transform, self._mean, self._isotropic_noise,
+                int(dataset_size), self.state_size, float(mask_prob), key,
+            )
+        return Dataset.from_parts(values, observed)
+
+    # ------------------------------------------------------------------ #
+    # inference (ppca_model.rs:195-261)
+
+    def infer(self, dataset: Dataset) -> "InferredMasked":
+        states, covs = self._infer_arrays(dataset)
+        return InferredMasked(self, states, covs)
+
+    def _infer_arrays(self, dataset: Dataset):
+        with _precision():
+            return _infer_jit(
+                self._transform, self._mean, self._isotropic_noise,
+                dataset.data, dataset.mask, block_size_for(len(dataset)),
+            )
+
+    def smooth(self, dataset: Dataset) -> Dataset:
+        """De-noise observed values and fill missing ones
+        (`ppca_model.rs:231-244`); preserves dataset weights."""
+        with _precision():
+            smoothed = _smooth_jit(
+                self._transform, self._mean, self._isotropic_noise,
+                dataset.data, dataset.mask, block_size_for(len(dataset)),
+            )
+        return Dataset.unmasked(smoothed, dataset.weights)
+
+    def extrapolate(self, dataset: Dataset) -> Dataset:
+        """Fill missing values, keeping observed ones untouched
+        (`ppca_model.rs:248-261`); preserves dataset weights."""
+        with _precision():
+            extr = _extrapolate_jit(
+                self._transform, self._mean, self._isotropic_noise,
+                dataset.data, dataset.mask, block_size_for(len(dataset)),
+            )
+        return Dataset.unmasked(extr, dataset.weights)
+
+    # ------------------------------------------------------------------ #
+    # EM (ppca_model.rs:263-393)
+
+    def iterate(self, dataset: Dataset) -> "PPCAModel":
+        """One EM iteration; the log-likelihood always increases
+        (`ppca_model.rs:263-269`)."""
+        model, _ = self._iterate_with_llk(dataset, None)
+        return model
+
+    def iterate_with_prior(self, dataset: Dataset, prior: Prior) -> "PPCAModel":
+        """One MAP-EM iteration with the supplied prior
+        (`ppca_model.rs:271-393`)."""
+        model, _ = self._iterate_with_llk(dataset, prior)
+        return model
+
+    def _iterate_with_llk(self, dataset: Dataset, prior: Optional[Prior]) -> Tuple["PPCAModel", float]:
+        """Fused EM step: returns (new model, llk of *this* model on the
+        dataset) computed in the same pass over the data."""
+        dtype = self._transform.dtype
+        if prior is None:
+            prior = Prior()
+        tprec = jnp.asarray(prior.transformation_precision(), dtype=dtype)
+        noise_prior = None
+        if prior.has_isotropic_noise_prior():
+            noise_prior = (
+                jnp.asarray(prior.isotropic_noise_alpha(), dtype=dtype),
+                jnp.asarray(prior.isotropic_noise_beta(), dtype=dtype),
+            )
+        mean_prior = None
+        if prior.has_mean_prior():
+            mean_prior = (
+                jnp.asarray(prior.mean(), dtype=dtype),
+                jnp.asarray(prior.mean_precision(), dtype=dtype),
+            )
+        with _precision():
+            new_C, new_mean, new_sigma, llk = _em_step_jit(
+                self._transform, self._mean, self._isotropic_noise,
+                dataset.data, dataset.mask, dataset.weights,
+                tprec, noise_prior, mean_prior,
+                block_size_for(len(dataset)),
+            )
+        return PPCAModel._from_params(new_C, new_mean, new_sigma), float(llk)
+
+    # ------------------------------------------------------------------ #
+
+    def to_canonical(self) -> "PPCAModel":
+        """Canonical rotation of the latent space; does not alter the
+        log-probability function (`ppca_model.rs:395-425`)."""
+        if self.state_size == 0:
+            return self
+        with _precision():
+            new_C = _to_canonical_jit(self._transform)
+        return PPCAModel._from_params(new_C, self._mean, self._isotropic_noise)
+
+
+class InferredMasked:
+    """Batch of per-sample posterior distributions in state space — the
+    Python-facing twin of the reference's batch wrapper
+    (`src/python_bindings.rs:203-345` over `ppca_model.rs:428-593`)."""
+
+    def __init__(self, model: PPCAModel, states, covariances):
+        self._model = model
+        self._states = states          # (N, k)
+        self._covariances = covariances  # (N, k, k)
+
+    def __len__(self) -> int:
+        return int(self._states.shape[0])
+
+    def states(self) -> np.ndarray:
+        return np.asarray(self._states)
+
+    def covariances(self) -> List[np.ndarray]:
+        """List of per-sample (k, k) posterior covariances (parity with the
+        list-returning binding at `src/python_bindings.rs:228-234`)."""
+        return list(np.asarray(self._covariances))
+
+    def covariances_array(self) -> np.ndarray:
+        """(N, k, k) stacked covariances — TPU-native extra."""
+        return np.asarray(self._covariances)
+
+    def smoothed(self, model: PPCAModel) -> Dataset:
+        """C s + mu per sample (`ppca_model.rs:454-457`)."""
+        with _precision():
+            out = _smoothed_from_states_jit(model._transform, model._mean, self._states)
+        return Dataset.unmasked(out)
+
+    def extrapolated(self, model: PPCAModel, dataset: Dataset) -> Dataset:
+        """Observed values kept, missing filled from the posterior
+        (`ppca_model.rs:460-463`)."""
+        with _precision():
+            smoothed = _smoothed_from_states_jit(model._transform, model._mean, self._states)
+            out = jnp.where(dataset.mask, dataset.data, smoothed)
+        return Dataset.unmasked(out)
+
+    def smoothed_covariances(self, model: PPCAModel) -> List[np.ndarray]:
+        """Full (D, D) smoothed output covariances (`ppca_model.rs:471-477`)."""
+        with _precision():
+            full = _smoothed_cov_full_jit(model._transform, model._isotropic_noise, self._covariances)
+        return list(np.asarray(full))
+
+    def smoothed_covariances_diagonal(self, model: PPCAModel) -> Dataset:
+        """Diagonal-only smoothed covariance via the row-dot trick
+        (`ppca_model.rs:485-508`), one matmul on the MXU."""
+        with _precision():
+            diag = _smoothed_cov_diag_jit(model._transform, model._isotropic_noise, self._covariances)
+        return Dataset.unmasked(diag)
+
+    def extrapolated_covariances(self, model: PPCAModel, dataset: Dataset) -> List[np.ndarray]:
+        """Full (D, D) extrapolation covariances, zero at observed dims
+        (`ppca_model.rs:517-534`)."""
+        with _precision():
+            full = _extrapolated_cov_full_jit(
+                model._transform, model._isotropic_noise, self._covariances, dataset.mask
+            )
+        return list(np.asarray(full))
+
+    def extrapolated_covariances_diagonal(self, model: PPCAModel, dataset: Dataset) -> Dataset:
+        """Diagonal extrapolation variances, zero at observed dims
+        (`ppca_model.rs:542-577`)."""
+        with _precision():
+            diag = _extrapolated_cov_diag_jit(
+                model._transform, model._isotropic_noise, self._covariances, dataset.mask
+            )
+        return Dataset.unmasked(diag)
+
+    def posterior_sampler(self) -> "PosteriorSampler":
+        """Cholesky-factor the posterior covariances for repeated sampling
+        (`ppca_model.rs:581-592`)."""
+        chol = jnp.linalg.cholesky(self._covariances)
+        if not bool(jnp.all(jnp.isfinite(chol))):
+            raise ValueError("Cholesky decomposition failed: posterior covariance not PD")
+        return PosteriorSampler(self._model, self._states, chol)
+
+
+class PosteriorSampler:
+    """Batch sampler from per-sample posteriors (`ppca_model.rs:595-626`).
+
+    Each ``sample()`` call returns a Dataset with one fresh draw per sample:
+    ``y = sigma z2 + mu + C (s + L z1)`` — including the output noise term,
+    matching the reference code (not its doc comment)."""
+
+    def __init__(self, model: PPCAModel, states, chol):
+        self._model = model
+        self._states = states
+        self._chol = chol
+
+    def sample(self, key=None) -> Dataset:
+        key = ensure_key(key)
+        with _precision():
+            out = _posterior_sample_jit(
+                self._model._transform, self._model._mean, self._model._isotropic_noise,
+                self._states, self._chol, key,
+            )
+        return Dataset.unmasked(out)

@@ -1,0 +1,352 @@
+"""Mask-weighted dense linear algebra for PPCA on TPU.
+
+This is the TPU-native replacement for the reference's ragged per-sample
+algebra (`ppca/src/output_covariance.rs`): instead of gathering the observed
+rows of ``C`` into a smaller matrix per sample (hostile to XLA's static
+shapes), every sample runs the same fixed-shape kernel using mask-weighted
+dense algebra.  The two formulations are algebraically identical:
+
+* masked inner matrix ``M_n = sigma^2 I_k + C^T diag(m_n) C`` equals the
+  reference's ``sub_covariance.inner_matrix`` (`output_covariance.rs:61-64`
+  computed on the mask-gathered rows) because rows of ``C`` at masked
+  dimensions contribute nothing to the Gram.
+* the posterior state is ``s_n = M_n^{-1} C^T (m_n * (y_n - mu))`` which by
+  the push-through identity equals the reference's Woodbury
+  ``estimator_transform`` applied to the gathered sample
+  (`output_covariance.rs:72-94`), and the posterior covariance is
+  ``Sigma_n = sigma^2 M_n^{-1}``, equal to ``estimator_covariance``
+  (`output_covariance.rs:96-101`).
+* the log-likelihood uses ``x^T Cov^{-1} x = (|r|^2 - b^T M^{-1} b)/sigma^2``
+  (the reference's ``quadratic_form``, `output_covariance.rs:133-142`) and the
+  matrix-determinant-lemma log-det restricted to observed dims:
+  ``log det = log det(M) + 2 log(sigma) (|m| - k)``
+  (`output_covariance.rs:103-121`).
+
+The MXU mapping trick: since masks are 0/1, ``C^T diag(m) C`` is a *linear*
+function of the mask — ``sum_d m_d c_d c_d^T``.  Flattening the per-row outer
+products into ``CC in R^{D x k^2}`` turns the per-sample Gram for a whole
+batch into ONE dense matmul ``mask @ CC`` of shape ``(B, D) x (D, k^2)``,
+which is exactly what the 128x128 systolic array wants.  The M-step's
+``S[d] = sum_n w_n m_{nd} (s_n s_n^T + Sigma_n)`` (the per-row second-moment
+sums at `ppca_model.rs:294-325`) is the transpose trick:
+``(w*m)^T @ SM_flat`` of shape ``(D, B) x (B, k^2)`` — also one matmul, and it
+computes each sample's second moment once (the reference recomputes it per
+observed (row, sample) pair).
+
+Everything is blocked over N with ``lax.scan`` so peak memory is
+O(block * (D + k^2)) regardless of dataset size, and every function takes an
+optional ``axis_model`` mesh-axis name: when the D dimension is sharded
+(tensor-parallel layout), the two small cross-shard reductions (``b`` and
+``G``) become ``psum`` s over ICI and everything else stays local.
+
+All empty-sample / empty-dimension special cases of the reference fall out of
+the algebra with no branches: an all-masked sample has ``m = 0`` so
+``M = sigma^2 I``, ``s = 0``, ``Sigma = I`` (the reference's ``uninferred``,
+`ppca_model.rs:98-104,196-198`) and its log-likelihood is exactly 0
+(`ppca_model.rs:124-129`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import cho_solve
+
+LN_2PI = 1.8378770664093453
+
+
+def _psum(x, axis_name: Optional[str]):
+    return lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def outer_flat(C: jax.Array) -> jax.Array:
+    """Per-row flattened outer products: ``CC[d] = vec(c_d c_d^T)``, (D, k*k)."""
+    D, k = C.shape
+    return (C[:, :, None] * C[:, None, :]).reshape(D, k * k)
+
+
+class BlockPosterior(NamedTuple):
+    """Per-block E-step quantities. ``R``, ``G_local`` are model-shard local;
+    the solved quantities (``states``, ``chol``, ...) are model-replicated."""
+
+    R: jax.Array        # (B, D_loc) masked centered data
+    b: jax.Array        # (B, k) = C^T r   (model-reduced)
+    G_local: jax.Array  # (B, k*k) local mask Gram (before model psum)
+    M: jax.Array        # (B, k, k) = sigma^2 I + C^T diag(m) C
+    chol: jax.Array     # (B, k, k) lower Cholesky of M
+    states: jax.Array   # (B, k) posterior means
+    d_obs: jax.Array    # (B,) observed-entry counts (model-reduced)
+
+
+def block_posterior(
+    C: jax.Array,
+    CC: jax.Array,
+    mean: jax.Array,
+    sigma: jax.Array,
+    data: jax.Array,
+    mask_f: jax.Array,
+    axis_model: Optional[str] = None,
+) -> BlockPosterior:
+    """Fixed-shape E-step for one block of samples.
+
+    Mirrors `ppca_model.rs:195-208` (infer_one) batched over the block.
+    """
+    k = C.shape[1]
+    n = data.shape[0]
+    dtype = data.dtype
+    sigma2 = sigma * sigma
+    R = mask_f * (data - mean)
+    b = _psum(R @ C, axis_model)
+    G_local = mask_f @ CC
+    G = _psum(G_local, axis_model).reshape(n, k, k)
+    M = G + sigma2 * jnp.eye(k, dtype=dtype)
+    L = jnp.linalg.cholesky(M)
+    states = cho_solve((L, True), b[..., None])[..., 0]
+    d_obs = _psum(jnp.sum(mask_f, axis=-1), axis_model)
+    return BlockPosterior(R=R, b=b, G_local=G_local, M=M, chol=L, states=states, d_obs=d_obs)
+
+
+def block_covariances(post: BlockPosterior, sigma: jax.Array) -> jax.Array:
+    """Posterior state covariances ``Sigma = sigma^2 M^{-1}`` for a block."""
+    k = post.chol.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(k, dtype=post.chol.dtype), post.chol.shape)
+    return (sigma * sigma) * cho_solve((post.chol, True), eye)
+
+
+def block_llk(post: BlockPosterior, sigma: jax.Array, k: int) -> jax.Array:
+    """Per-sample log-likelihood for a block (`ppca_model.rs:124-139`)."""
+    sigma2 = sigma * sigma
+    rnorm = jnp.sum(post.R * post.R, axis=-1)
+    quad = (rnorm - jnp.sum(post.b * post.states, axis=-1)) / sigma2
+    if k > 0:
+        diag = jnp.diagonal(post.chol, axis1=-2, axis2=-1)
+        logdet_m = 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+    else:
+        logdet_m = jnp.zeros_like(post.d_obs)
+    logdet = logdet_m + 2.0 * jnp.log(sigma) * (post.d_obs - k)
+    return -0.5 * (quad + logdet + LN_2PI * post.d_obs)
+
+
+def _pad_blocks(n: int, block_size: int, *arrays):
+    """Pad the leading axis to a block multiple and reshape to (nb, B, ...).
+
+    Padding rows are all-masked, zero-weight samples, which are exactly
+    neutral in every reduction (see module docstring)."""
+    nb = -(-n // block_size)
+    pad = nb * block_size - n
+    out = []
+    for a in arrays:
+        if pad:
+            a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        out.append(a.reshape((nb, block_size) + a.shape[1:]))
+    return nb, out
+
+
+def llks(
+    C: jax.Array,
+    mean: jax.Array,
+    sigma: jax.Array,
+    data: jax.Array,
+    mask: jax.Array,
+    *,
+    block_size: int,
+    axis_model: Optional[str] = None,
+) -> jax.Array:
+    """Per-sample log-likelihoods, blocked over N (`ppca_model.rs:152-159`).
+
+    When ``axis_model`` is set the result is replicated across the model axis.
+    ``rnorm`` and friends are psum-reduced inside :func:`block_posterior`, so
+    the per-sample values are already full-D quantities.
+    """
+    n = data.shape[0]
+    k = C.shape[1]
+    CC = outer_flat(C)
+    _, (data3, mask3) = _pad_blocks(n, block_size, data, mask)
+
+    def body(_, xs):
+        datab, maskb = xs
+        post = block_posterior(C, CC, mean, sigma, datab, maskb.astype(data.dtype), axis_model)
+        return None, block_llk(post, sigma, k)
+
+    _, out = lax.scan(body, None, (data3, mask3))
+    return out.reshape(-1)[:n]
+
+
+def infer(
+    C: jax.Array,
+    mean: jax.Array,
+    sigma: jax.Array,
+    data: jax.Array,
+    mask: jax.Array,
+    *,
+    block_size: int,
+    axis_model: Optional[str] = None,
+):
+    """Posterior states and covariances for every sample
+    (`ppca_model.rs:221-227`). Returns ``(states (N,k), covariances (N,k,k))``.
+    """
+    n = data.shape[0]
+    CC = outer_flat(C)
+    _, (data3, mask3) = _pad_blocks(n, block_size, data, mask)
+
+    def body(_, xs):
+        datab, maskb = xs
+        post = block_posterior(C, CC, mean, sigma, datab, maskb.astype(data.dtype), axis_model)
+        return None, (post.states, block_covariances(post, sigma))
+
+    _, (states, covs) = lax.scan(body, None, (data3, mask3))
+    k = C.shape[1]
+    n_padded = states.shape[0] * states.shape[1]
+    return states.reshape(n_padded, k)[:n], covs.reshape(n_padded, k, k)[:n]
+
+
+class EMStats(NamedTuple):
+    """Sufficient statistics of one EM iteration.
+
+    Sharding discipline: ``cross``, ``S``, ``total_dev``, ``totals`` are
+    indexed by (local) D and stay model-sharded; ``square_error``, ``dev_sq``
+    are built from model-*local* terms and must be psum-reduced over BOTH mesh
+    axes; ``llk`` and ``n_obs`` are built from model-reduced terms, so they
+    are already model-replicated and must be psum-reduced over the data axis
+    only.
+    """
+
+    cross: jax.Array         # (D_loc, k)   sum w r s^T        (ppca_model.rs:281-293)
+    S: jax.Array             # (D_loc, k*k) sum w m_d (ss^T+Sigma) (ppca_model.rs:297-308)
+    square_error: jax.Array  # scalar       sum w tr(G Sigma)  (ppca_model.rs:345)
+    dev_sq: jax.Array        # scalar       sum w |dev|^2      (ppca_model.rs:346)
+    total_dev: jax.Array     # (D_loc,)     sum w dev          (ppca_model.rs:347)
+    totals: jax.Array        # (D_loc,)     sum w m            (ppca_model.rs:348)
+    llk: jax.Array           # scalar       weighted llk of the *current* model
+    n_obs: jax.Array         # scalar       sum w |m| (model-replicated twin of totals.sum())
+
+
+def em_stats(
+    C: jax.Array,
+    mean: jax.Array,
+    sigma: jax.Array,
+    data: jax.Array,
+    mask: jax.Array,
+    weights: jax.Array,
+    *,
+    block_size: int,
+    axis_model: Optional[str] = None,
+) -> EMStats:
+    """One fused pass over the data computing E-step posteriors and all M-step
+    sufficient statistics (the reference's separate infer + three rayon
+    reduces, `ppca_model.rs:277-358`), plus the dataset log-likelihood of the
+    current model for free.
+    """
+    n, _ = data.shape
+    k = C.shape[1]
+    dtype = data.dtype
+    CC = outer_flat(C)
+    _, (data3, mask3, w2) = _pad_blocks(n, block_size, data, mask, weights)
+
+    def body(acc, xs):
+        datab, maskb, w = xs
+        mask_f = maskb.astype(dtype)
+        post = block_posterior(C, CC, mean, sigma, datab, mask_f, axis_model)
+        Sigma = block_covariances(post, sigma)
+        s = post.states
+
+        Rw = post.R * w[:, None]
+        cross = Rw.T @ s
+        SM = (s[:, :, None] * s[:, None, :] + Sigma).reshape(s.shape[0], k * k)
+        S = (mask_f * w[:, None]).T @ SM
+        # sum w tr(G Sigma): G_local keeps this model-shard-local so the final
+        # psum over both mesh axes counts every dimension exactly once.
+        square_error = jnp.sum(w * jnp.sum(post.G_local * Sigma.reshape(s.shape[0], k * k), axis=-1))
+
+        dev = mask_f * (datab - s @ C.T - mean)
+        dev_sq = jnp.sum(w * jnp.sum(dev * dev, axis=-1))
+        total_dev = w @ dev
+        totals = w @ mask_f
+
+        llk = jnp.sum(w * block_llk(post, sigma, k))
+        n_obs = jnp.sum(w * post.d_obs)
+
+        new = EMStats(cross, S, square_error, dev_sq, total_dev, totals, llk, n_obs)
+        return jax.tree.map(jnp.add, acc, new), None
+
+    zero = EMStats(
+        cross=jnp.zeros_like(C),
+        S=jnp.zeros((C.shape[0], k * k), dtype),
+        square_error=jnp.zeros((), dtype),
+        dev_sq=jnp.zeros((), dtype),
+        total_dev=jnp.zeros((C.shape[0],), dtype),
+        totals=jnp.zeros((C.shape[0],), dtype),
+        llk=jnp.zeros((), dtype),
+        n_obs=jnp.zeros((), dtype),
+    )
+    stats, _ = lax.scan(body, zero, (data3, mask3, w2))
+    return stats
+
+
+def em_finalize(
+    C: jax.Array,
+    mean: jax.Array,
+    sigma: jax.Array,
+    stats: EMStats,
+    *,
+    transformation_precision,
+    noise_prior: Optional[tuple] = None,    # (alpha, beta)
+    mean_prior: Optional[tuple] = None,     # (prior_mean (D,), prior_precision (D,D))
+    axis_model: Optional[str] = None,
+):
+    """M-step parameter updates from the sufficient statistics
+    (`ppca_model.rs:294-393`). Returns ``(new_C, new_mean, new_sigma)``.
+
+    Statistics must already be reduced over the data axis; D-indexed entries
+    may still be model-sharded (this function handles the few cross-D
+    reductions with psum/all_gather when ``axis_model`` is set).
+    """
+    D_loc, k = C.shape
+    dtype = C.dtype
+
+    # --- transform rows: batched solve of (S[d] + lambda I) c_d = cross[d],
+    # keeping the old row when the solve is non-finite (the QR-failure
+    # fallback at ppca_model.rs:313-321).
+    if k > 0:
+        A = stats.S.reshape(D_loc, k, k) + transformation_precision * jnp.eye(k, dtype=dtype)
+        sol = jnp.linalg.solve(A, stats.cross[..., None])[..., 0]
+        ok = jnp.all(jnp.isfinite(sol), axis=-1, keepdims=True)
+        new_C = jnp.where(ok, sol, C)
+    else:
+        new_C = C
+
+    # --- isotropic noise (ppca_model.rs:360-371)
+    sq = _psum(stats.square_error + stats.dev_sq, axis_model)
+    n_obs = _psum(jnp.sum(stats.totals), axis_model)
+    if noise_prior is not None:
+        alpha, beta = noise_prior
+        # inverse-gamma MAP mode: (sq/2 + beta) / (n/2 + alpha + 1)
+        sigma2_new = (sq / 2.0 + beta) / (n_obs / 2.0 + alpha + 1.0)
+    else:
+        sigma2_new = sq / n_obs
+
+    # --- mean (ppca_model.rs:373-384)
+    new_mean = jnp.where(stats.totals > 0, stats.total_dev / jnp.where(stats.totals > 0, stats.totals, 1.0), 0.0) + mean
+    if mean_prior is not None:
+        prior_mean, prior_precision = mean_prior
+        if axis_model is not None:
+            mean_full = lax.all_gather(new_mean, axis_model, tiled=True)
+            totals_full = lax.all_gather(stats.totals, axis_model, tiled=True)
+        else:
+            mean_full, totals_full = new_mean, stats.totals
+        # precision-weighted combine solved directly (prior.rs:97-110)
+        data_precision_diag = totals_full / sigma2_new
+        total_precision = prior_precision + jnp.diag(data_precision_diag)
+        numerator = prior_precision @ prior_mean + data_precision_diag * mean_full
+        smoothed = jnp.linalg.solve(total_precision, numerator)
+        if axis_model is not None:
+            idx = lax.axis_index(axis_model)
+            new_mean = lax.dynamic_slice_in_dim(smoothed, idx * D_loc, D_loc)
+        else:
+            new_mean = smoothed
+
+    return new_C, new_mean, jnp.sqrt(sigma2_new)

@@ -1,0 +1,133 @@
+"""Convenience train loops — rebuild of `python/ppca_rs/__init__.py:14-118`.
+
+Same API and metric semantics as the reference trainers (llk/aic/bic per
+iteration, optional warm start and prior, final ``to_canonical``), with two
+TPU-era upgrades:
+
+* the per-iteration log-likelihood is computed in the *same* fused device
+  pass as the EM update (the reference makes two passes over the data per
+  iteration: `__init__.py:50-66`), so metric logging is free;
+* printing goes through a pluggable ``callback`` (SURVEY.md §5) — default
+  behavior prints exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Literal, Optional
+
+import numpy as np
+
+from .dataset import Dataset
+from .models.mix import PPCAMix
+from .models.ppca import PPCAModel
+from .prior import Prior
+
+
+@dataclass(frozen=True)
+class TrainMetrics:
+    """Per-iteration metrics (`python/ppca_rs/__init__.py:14-18`):
+    llk and bic are per-sample; aic = 2 (p - llk_total) / n."""
+
+    llk: float
+    aic: float
+    bic: float
+
+    @staticmethod
+    def compute(llk_total: float, n_parameters: int, n_samples: int) -> "TrainMetrics":
+        n = n_samples
+        return TrainMetrics(
+            llk=llk_total / n,
+            aic=2.0 * (n_parameters - llk_total) / n,
+            bic=(llk_total - n_parameters * float(np.log(n))) / n,
+        )
+
+
+Metric = Literal["aic", "bic", "llk"]
+MetricsCallback = Callable[[int, TrainMetrics], None]
+
+
+@dataclass
+class PPCATrainer:
+    """A trainer for a PPCA model over masked data
+    (`python/ppca_rs/__init__.py:21-67`)."""
+
+    dataset: Dataset
+
+    def train(
+        self,
+        *,
+        start: Optional[PPCAModel] = None,
+        prior: Optional[Prior] = None,
+        state_size: int,
+        n_iters: int = 10,
+        metric: Metric = "aic",
+        quiet: bool = False,
+        callback: Optional[MetricsCallback] = None,
+        key=None,
+    ) -> PPCAModel:
+        model = start if start is not None else PPCAModel.init(state_size, self.dataset, key=key)
+        n = len(self.dataset)
+
+        for idx in range(n_iters):
+            # Fused: llk of the current model + the EM update in one pass.
+            new_model, llk = model._iterate_with_llk(self.dataset, prior)
+            if not quiet or callback is not None:
+                metrics = TrainMetrics.compute(llk, model.n_parameters, n)
+                if callback is not None:
+                    callback(idx + 1, metrics)
+                if not quiet:
+                    print(
+                        f"Masked PPCA iteration {idx + 1}: "
+                        f"{metric}={getattr(metrics, metric)}"
+                    )
+            model = new_model
+
+        return model.to_canonical()
+
+
+@dataclass
+class PPCAMixTrainer:
+    """A trainer for a PPCA mixture model over masked data
+    (`python/ppca_rs/__init__.py:70-118`)."""
+
+    dataset: Dataset
+
+    def train(
+        self,
+        *,
+        start: Optional[PPCAMix] = None,
+        prior: Optional[Prior] = None,
+        n_models: int,
+        state_size: int,
+        n_iters: int = 10,
+        metric: Metric = "aic",
+        quiet: bool = False,
+        callback: Optional[MetricsCallback] = None,
+        key=None,
+    ) -> PPCAMix:
+        model = (
+            start
+            if start is not None
+            else PPCAMix.init(n_models, state_size, self.dataset, key=key)
+        )
+        n = len(self.dataset)
+
+        for idx in range(n_iters):
+            if not quiet or callback is not None:
+                llk = model.llk(self.dataset)
+                metrics = TrainMetrics.compute(llk, model.n_parameters, n)
+                if callback is not None:
+                    callback(idx + 1, metrics)
+                if not quiet:
+                    print(
+                        f"Masked PPCA mix iteration {idx + 1}: "
+                        f"{metric}={getattr(metrics, metric)}"
+                    )
+            model = (
+                model.iterate_with_prior(self.dataset, prior)
+                if prior is not None
+                else model.iterate(self.dataset)
+            )
+
+        return model.to_canonical()
