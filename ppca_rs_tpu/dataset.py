@@ -31,12 +31,14 @@ class Dataset:
     """A dense masked dataset: values (zero-filled where masked), an
     observed-mask and per-sample weights, all device arrays."""
 
-    __slots__ = ("data", "mask", "weights")
+    __slots__ = ("data", "mask", "weights", "_n_real")
 
     def __init__(self, ndarray=None, weights=None, *, _parts=None):
         if _parts is not None:
-            self.data, self.mask, self.weights = _parts
+            self.data, self.mask, self.weights = _parts[:3]
+            self._n_real = _parts[3] if len(_parts) > 3 else None
             return
+        self._n_real = None
         if ndarray is None:
             raise TypeError("Dataset() requires an (N, D) array")
         arr = np.asarray(ndarray, dtype=np.float64)
@@ -59,16 +61,19 @@ class Dataset:
     # constructors
 
     @classmethod
-    def from_parts(cls, data, mask, weights=None) -> "Dataset":
+    def from_parts(cls, data, mask, weights=None, n_real=None) -> "Dataset":
         """Build from already-prepared device arrays (data must be zero-filled
-        at masked entries)."""
+        at masked entries).  ``n_real`` marks the logical length when the
+        arrays carry neutral padding rows (used by the sharding layer: padding
+        rows are all-masked and zero-weight, hence invisible in every
+        reduction)."""
         data = jnp.asarray(data)
         mask = jnp.asarray(mask, dtype=bool)
         if weights is None:
             weights = jnp.ones((data.shape[0],), dtype=data.dtype)
         else:
             weights = jnp.asarray(weights, dtype=data.dtype)
-        return cls(_parts=(data, mask, weights))
+        return cls(_parts=(data, mask, weights, n_real))
 
     @classmethod
     def unmasked(cls, data, weights=None) -> "Dataset":
@@ -79,12 +84,25 @@ class Dataset:
     def with_weights(self, weights) -> "Dataset":
         """Same data, new weights — the cheap reweighting hook the mixture EM
         uses (`dataset.rs:169-176`; data arrays are shared, not copied)."""
-        return Dataset.from_parts(self.data, self.mask, jnp.asarray(weights, dtype=self.data.dtype))
+        w = jnp.asarray(weights, dtype=self.data.dtype)
+        if w.shape[0] != self.padded_len:
+            if w.shape[0] != len(self):
+                raise ValueError("weights length must match number of samples")
+            w = jnp.pad(w, (0, self.padded_len - len(self)))
+            w = jax.device_put(w, self.weights.sharding)
+        return Dataset.from_parts(self.data, self.mask, w, n_real=self._n_real)
 
     # ------------------------------------------------------------------ #
     # basic accessors
 
     def __len__(self) -> int:
+        if self._n_real is not None:
+            return self._n_real
+        return int(self.data.shape[0])
+
+    @property
+    def padded_len(self) -> int:
+        """Physical length including neutral padding rows."""
         return int(self.data.shape[0])
 
     @property
@@ -110,12 +128,12 @@ class Dataset:
 
     def numpy(self) -> np.ndarray:
         """NaN-filled (N, D) round-trip (`src/python_bindings.rs:81-92`)."""
-        data = np.asarray(self.data, dtype=np.float64)
-        mask = np.asarray(self.mask)
+        data = np.asarray(self.data, dtype=np.float64)[: len(self)]
+        mask = np.asarray(self.mask)[: len(self)]
         return np.where(mask, data, np.nan)
 
     def weights_numpy(self) -> np.ndarray:
-        return np.asarray(self.weights, dtype=np.float64)
+        return np.asarray(self.weights, dtype=np.float64)[: len(self)]
 
     # Parity alias: the bindings expose `weights()` as a method
     # (`src/python_bindings.rs:106-108`).
@@ -128,12 +146,13 @@ class Dataset:
     def dump(self) -> bytes:
         """Stable bytes (API twin of the bincode dump at
         `src/python_bindings.rs:74-79`; byte format is ours, see SURVEY §5)."""
+        n = len(self)
         return dump_bytes(
             "dataset",
             {
-                "data": np.asarray(self.data, dtype=np.float64),
-                "mask": np.asarray(self.mask),
-                "weights": np.asarray(self.weights, dtype=np.float64),
+                "data": np.asarray(self.data, dtype=np.float64)[:n],
+                "mask": np.asarray(self.mask)[:n],
+                "weights": np.asarray(self.weights, dtype=np.float64)[:n],
             },
         )
 
@@ -148,6 +167,7 @@ class Dataset:
     def __setstate__(self, state):
         other = Dataset.load(state)
         self.data, self.mask, self.weights = other.data, other.mask, other.weights
+        self._n_real = None
 
     def __reduce__(self):
         return (Dataset.load, (self.dump(),))
@@ -156,6 +176,7 @@ class Dataset:
     # slicing
 
     def slice(self, start: int, stop: int) -> "Dataset":
+        stop = min(stop, len(self))
         return Dataset.from_parts(
             self.data[start:stop], self.mask[start:stop], self.weights[start:stop]
         )
@@ -173,9 +194,9 @@ class Dataset:
         if not datasets:
             raise ValueError("cannot concat an empty list of datasets")
         return Dataset.from_parts(
-            jnp.concatenate([d.data for d in datasets], axis=0),
-            jnp.concatenate([d.mask for d in datasets], axis=0),
-            jnp.concatenate([d.weights for d in datasets], axis=0),
+            jnp.concatenate([d.data[: len(d)] for d in datasets], axis=0),
+            jnp.concatenate([d.mask[: len(d)] for d in datasets], axis=0),
+            jnp.concatenate([d.weights[: len(d)] for d in datasets], axis=0),
         )
 
     def __repr__(self) -> str:

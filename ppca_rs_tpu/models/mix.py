@@ -146,15 +146,16 @@ class PPCAMix:
     # likelihood (mix.rs:136-174)
 
     def _component_llks(self, dataset: Dataset) -> jnp.ndarray:
-        """(N, M) per-component per-sample log-likelihoods."""
-        cols = [jnp.asarray(m.llks(dataset)) for m in self._models]
+        """(N_padded, M) per-component per-sample log-likelihoods, on device
+        (padding rows are neutral: all-masked rows have zero llk)."""
+        cols = [m._llks_device(dataset) for m in self._models]
         return jnp.stack(cols, axis=1)
 
     def llks(self, dataset: Dataset) -> np.ndarray:
         """Per-sample mixture log-likelihood: logsumexp over components of
         llk + log weight (`mix.rs:147-159`)."""
         per = self._component_llks(dataset)
-        return np.asarray(_logsumexp_jit(per + self._log_weights[None, :]))
+        return np.asarray(_logsumexp_jit(per + self._log_weights[None, :]))[: len(dataset)]
 
     def llk(self, dataset: Dataset) -> float:
         """Weighted total mixture log-likelihood (`mix.rs:162-174`)."""
@@ -169,7 +170,7 @@ class PPCAMix:
         returns the log-softmax values despite its doc comment speaking of
         probabilities (`mix.rs:179-189`); we match the code."""
         per = self._component_llks(dataset)
-        return np.asarray(_log_softmax_jit(per + self._log_weights[None, :]))
+        return np.asarray(_log_softmax_jit(per + self._log_weights[None, :]))[: len(dataset)]
 
     # ------------------------------------------------------------------ #
     # sampling (mix.rs:121-134)
@@ -198,7 +199,7 @@ class PPCAMix:
 
     def infer(self, dataset: Dataset) -> "InferredMaskedMix":
         per = self._component_llks(dataset)
-        log_post = _log_softmax_jit(per + self._log_weights[None, :])
+        log_post = _log_softmax_jit(per + self._log_weights[None, :])[: len(dataset)]
         inferred = [m.infer(dataset) for m in self._models]
         return InferredMaskedMix(self, log_post, inferred)
 

@@ -49,6 +49,23 @@ def _precision():
     return jax.default_matmul_precision(config.matmul_precision)
 
 
+def _impl_and_block(dataset: Dataset):
+    """Pick the single-device or shard_map implementation based on how the
+    dataset's arrays are sharded (see parallel/mesh.py), plus the scan block
+    size appropriate for the per-device row count."""
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, dataset_mesh
+
+    mesh = dataset_mesh(dataset)
+    if mesh is None:
+        return _SINGLE, block_size_for(dataset.padded_len)
+    from ..parallel.api import fns_for
+
+    n_data = mesh.shape[DATA_AXIS]
+    use_model = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
+    fns = fns_for(mesh, use_model)
+    return fns, block_size_for(max(1, dataset.padded_len // n_data))
+
+
 # ===================================================================== #
 # jitted kernels (module-level so the compile cache is shared across model
 # instances with the same shapes)
@@ -167,6 +184,16 @@ def _to_canonical_jit(C):
     col_sums = jnp.sum(new_C, axis=0)
     signs = jnp.where(col_sums >= 0, 1.0, -1.0).astype(C.dtype)
     return new_C * signs[None, :]
+
+
+_SINGLE = {
+    "llks": _llks_jit,
+    "llk": _llk_jit,
+    "infer": _infer_jit,
+    "smooth": _smooth_jit,
+    "extrapolate": _extrapolate_jit,
+    "em_step": _em_step_jit,
+}
 
 
 # ===================================================================== #
@@ -302,22 +329,27 @@ class PPCAModel:
         """Weighted total log-likelihood (`ppca_model.rs:142-149`)."""
         if dataset.is_empty():
             return 0.0
+        fns, bs = _impl_and_block(dataset)
         with _precision():
-            out = _llk_jit(
+            out = fns["llk"](
                 self._transform, self._mean, self._isotropic_noise,
-                dataset.data, dataset.mask, dataset.weights,
-                block_size_for(len(dataset)),
+                dataset.data, dataset.mask, dataset.weights, bs,
             )
         return float(out)
 
     def llks(self, dataset: Dataset) -> np.ndarray:
         """Per-sample log-likelihoods (`ppca_model.rs:152-159`)."""
+        return np.asarray(self._llks_device(dataset))[: len(dataset)]
+
+    def _llks_device(self, dataset: Dataset):
+        """Per-sample llks as a device array over the (possibly padded)
+        physical rows — used by the mixture layer to stay on device."""
+        fns, bs = _impl_and_block(dataset)
         with _precision():
-            out = _llks_jit(
+            return fns["llks"](
                 self._transform, self._mean, self._isotropic_noise,
-                dataset.data, dataset.mask, block_size_for(len(dataset)),
+                dataset.data, dataset.mask, bs,
             )
-        return np.asarray(out)
 
     # ------------------------------------------------------------------ #
     # sampling (ppca_model.rs:164-191)
@@ -339,31 +371,38 @@ class PPCAModel:
         return InferredMasked(self, states, covs)
 
     def _infer_arrays(self, dataset: Dataset):
+        fns, bs = _impl_and_block(dataset)
         with _precision():
-            return _infer_jit(
+            states, covs = fns["infer"](
                 self._transform, self._mean, self._isotropic_noise,
-                dataset.data, dataset.mask, block_size_for(len(dataset)),
+                dataset.data, dataset.mask, bs,
             )
+        n = len(dataset)
+        return states[:n], covs[:n]
 
     def smooth(self, dataset: Dataset) -> Dataset:
         """De-noise observed values and fill missing ones
         (`ppca_model.rs:231-244`); preserves dataset weights."""
+        fns, bs = _impl_and_block(dataset)
         with _precision():
-            smoothed = _smooth_jit(
+            smoothed = fns["smooth"](
                 self._transform, self._mean, self._isotropic_noise,
-                dataset.data, dataset.mask, block_size_for(len(dataset)),
+                dataset.data, dataset.mask, bs,
             )
-        return Dataset.unmasked(smoothed, dataset.weights)
+        n = len(dataset)
+        return Dataset.unmasked(smoothed[:n], dataset.weights[:n])
 
     def extrapolate(self, dataset: Dataset) -> Dataset:
         """Fill missing values, keeping observed ones untouched
         (`ppca_model.rs:248-261`); preserves dataset weights."""
+        fns, bs = _impl_and_block(dataset)
         with _precision():
-            extr = _extrapolate_jit(
+            extr = fns["extrapolate"](
                 self._transform, self._mean, self._isotropic_noise,
-                dataset.data, dataset.mask, block_size_for(len(dataset)),
+                dataset.data, dataset.mask, bs,
             )
-        return Dataset.unmasked(extr, dataset.weights)
+        n = len(dataset)
+        return Dataset.unmasked(extr[:n], dataset.weights[:n])
 
     # ------------------------------------------------------------------ #
     # EM (ppca_model.rs:263-393)
@@ -399,12 +438,12 @@ class PPCAModel:
                 jnp.asarray(prior.mean(), dtype=dtype),
                 jnp.asarray(prior.mean_precision(), dtype=dtype),
             )
+        fns, bs = _impl_and_block(dataset)
         with _precision():
-            new_C, new_mean, new_sigma, llk = _em_step_jit(
+            new_C, new_mean, new_sigma, llk = fns["em_step"](
                 self._transform, self._mean, self._isotropic_noise,
                 dataset.data, dataset.mask, dataset.weights,
-                tprec, noise_prior, mean_prior,
-                block_size_for(len(dataset)),
+                tprec, noise_prior, mean_prior, bs,
             )
         return PPCAModel._from_params(new_C, new_mean, new_sigma), float(llk)
 

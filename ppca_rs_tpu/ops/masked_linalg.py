@@ -117,10 +117,14 @@ def block_covariances(post: BlockPosterior, sigma: jax.Array) -> jax.Array:
     return (sigma * sigma) * cho_solve((post.chol, True), eye)
 
 
-def block_llk(post: BlockPosterior, sigma: jax.Array, k: int) -> jax.Array:
-    """Per-sample log-likelihood for a block (`ppca_model.rs:124-139`)."""
+def block_llk(
+    post: BlockPosterior, sigma: jax.Array, k: int, axis_model: Optional[str] = None
+) -> jax.Array:
+    """Per-sample log-likelihood for a block (`ppca_model.rs:124-139`).
+    ``R`` is model-shard local, so its squared norm is psum-reduced here;
+    every other input is already model-replicated."""
     sigma2 = sigma * sigma
-    rnorm = jnp.sum(post.R * post.R, axis=-1)
+    rnorm = _psum(jnp.sum(post.R * post.R, axis=-1), axis_model)
     quad = (rnorm - jnp.sum(post.b * post.states, axis=-1)) / sigma2
     if k > 0:
         diag = jnp.diagonal(post.chol, axis1=-2, axis2=-1)
@@ -129,6 +133,37 @@ def block_llk(post: BlockPosterior, sigma: jax.Array, k: int) -> jax.Array:
         logdet_m = jnp.zeros_like(post.d_obs)
     logdet = logdet_m + 2.0 * jnp.log(sigma) * (post.d_obs - k)
     return -0.5 * (quad + logdet + LN_2PI * post.d_obs)
+
+
+def _use_kernel(k: int, block_size: int, dtype, axis_model) -> bool:
+    """Whether the fused Pallas SPD kernel applies (TPU, f32, lane-aligned
+    blocks, un-sharded D).  The XLA path remains the reference semantics."""
+    from ..config import config
+    from . import kernels
+
+    if not config.use_pallas or axis_model is not None:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return kernels.supported(k, block_size, dtype)
+
+
+def _kernel_block(C, CC, mean, sigma, data, mask_f):
+    """One block through the fused kernel, in the transposed (lane-major)
+    layout: big contractions on the MXU, factorization+solves in Pallas.
+    Returns (s_t (k,B), SM3 (k,k,B), llk (B,), sq (B,), R (B,D), d_obs (B,))."""
+    from . import kernels
+
+    k = C.shape[1]
+    R = mask_f * (data - mean)
+    # b_t[k, B] = C^T R^T and G_t[(k,k), B] = CC^T mask^T — contracted over D
+    # with the transpose fused into the dot_general.
+    b_t = lax.dot_general(C, R, (((0,), (1,)), ((), ())))
+    G3 = lax.dot_general(CC, mask_f, (((0,), (1,)), ((), ()))).reshape(k, k, -1)
+    rnorm = jnp.sum(R * R, axis=-1)[None, :]
+    d_obs = jnp.sum(mask_f, axis=-1)
+    s_t, SM3, llk, sq = kernels.spd_estep(sigma, G3, b_t, rnorm, d_obs[None, :])
+    return s_t, SM3, llk[0], sq[0], R, d_obs
 
 
 def _pad_blocks(n: int, block_size: int, *arrays):
@@ -165,12 +200,17 @@ def llks(
     n = data.shape[0]
     k = C.shape[1]
     CC = outer_flat(C)
+    use_kernel = _use_kernel(k, block_size, data.dtype, axis_model)
     _, (data3, mask3) = _pad_blocks(n, block_size, data, mask)
 
     def body(_, xs):
         datab, maskb = xs
-        post = block_posterior(C, CC, mean, sigma, datab, maskb.astype(data.dtype), axis_model)
-        return None, block_llk(post, sigma, k)
+        mf = maskb.astype(data.dtype)
+        if use_kernel:
+            _, _, llk, _, _, _ = _kernel_block(C, CC, mean, sigma, datab, mf)
+            return None, llk
+        post = block_posterior(C, CC, mean, sigma, datab, mf, axis_model)
+        return None, block_llk(post, sigma, k, axis_model)
 
     _, out = lax.scan(body, None, (data3, mask3))
     return out.reshape(-1)[:n]
@@ -191,11 +231,18 @@ def infer(
     """
     n = data.shape[0]
     CC = outer_flat(C)
+    use_kernel = _use_kernel(C.shape[1], block_size, data.dtype, axis_model)
     _, (data3, mask3) = _pad_blocks(n, block_size, data, mask)
 
     def body(_, xs):
         datab, maskb = xs
-        post = block_posterior(C, CC, mean, sigma, datab, maskb.astype(data.dtype), axis_model)
+        mf = maskb.astype(data.dtype)
+        if use_kernel:
+            s_t, SM3, _, _, _, _ = _kernel_block(C, CC, mean, sigma, datab, mf)
+            states = s_t.T
+            covs = jnp.transpose(SM3, (2, 0, 1)) - states[:, :, None] * states[:, None, :]
+            return None, (states, covs)
+        post = block_posterior(C, CC, mean, sigma, datab, mf, axis_model)
         return None, (post.states, block_covariances(post, sigma))
 
     _, (states, covs) = lax.scan(body, None, (data3, mask3))
@@ -245,11 +292,26 @@ def em_stats(
     k = C.shape[1]
     dtype = data.dtype
     CC = outer_flat(C)
+    use_kernel = _use_kernel(k, block_size, dtype, axis_model)
     _, (data3, mask3, w2) = _pad_blocks(n, block_size, data, mask, weights)
 
     def body(acc, xs):
         datab, maskb, w = xs
         mask_f = maskb.astype(dtype)
+        if use_kernel:
+            s_t, SM3, llk_b, sq_b, R, dob = _kernel_block(C, CC, mean, sigma, datab, mask_f)
+            SM_t = SM3.reshape(k * k, -1)
+            cross = lax.dot_general(R, s_t * w[None, :], (((0,), (1,)), ((), ())))
+            S = lax.dot_general(mask_f * w[:, None], SM_t, (((0,), (1,)), ((), ())))
+            square_error = jnp.sum(w * sq_b)
+            dev = mask_f * (datab - lax.dot_general(s_t, C, (((0,), (1,)), ((), ()))) - mean)
+            dev_sq = jnp.sum(w * jnp.sum(dev * dev, axis=-1))
+            total_dev = w @ dev
+            totals = w @ mask_f
+            llk = jnp.sum(w * llk_b)
+            n_obs = jnp.sum(w * dob)
+            new = EMStats(cross, S, square_error, dev_sq, total_dev, totals, llk, n_obs)
+            return jax.tree.map(jnp.add, acc, new), None
         post = block_posterior(C, CC, mean, sigma, datab, mask_f, axis_model)
         Sigma = block_covariances(post, sigma)
         s = post.states
@@ -267,7 +329,7 @@ def em_stats(
         total_dev = w @ dev
         totals = w @ mask_f
 
-        llk = jnp.sum(w * block_llk(post, sigma, k))
+        llk = jnp.sum(w * block_llk(post, sigma, k, axis_model))
         n_obs = jnp.sum(w * post.d_obs)
 
         new = EMStats(cross, S, square_error, dev_sq, total_dev, totals, llk, n_obs)

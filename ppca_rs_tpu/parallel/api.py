@@ -1,0 +1,137 @@
+"""Sharded (SPMD) implementations of the heavy verbs.
+
+Mirrors the single-device jitted kernels in ``models/ppca.py`` but wraps the
+blocked reductions in ``jax.shard_map`` over a ('data', 'model') mesh:
+
+* every device runs the same blocked scan over its local rows (and local
+  columns when the model axis is used),
+* EM sufficient statistics are combined with ``psum`` over ICI — the
+  TPU-native equivalent of the reference's rayon reduces (SURVEY.md §2.5),
+* parameter finalization runs replicated (it is tiny: k x k solves over D
+  rows, model-sharded when D is sharded).
+
+The functions here are cached per (mesh, model-axis-use) pair and are
+signature-compatible with their single-device twins, so the model classes
+dispatch transparently on the dataset's sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..ops import masked_linalg as ml
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+@functools.lru_cache(maxsize=None)
+def fns_for(mesh, use_model_axis: bool):
+    """Build (and cache) the sharded verb implementations for a mesh."""
+    axis_model = MODEL_AXIS if use_model_axis else None
+    col = MODEL_AXIS if use_model_axis else None
+    rows = P(DATA_AXIS, col)        # data, mask
+    wspec = P(DATA_AXIS)            # weights
+    cspec = P(col, None)            # transform C (D, k)
+    mspec = P(col)                  # mean (D,)
+    rep = P()                       # replicated scalars / prior pieces
+
+    def smap(f, in_specs, out_specs):
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
+    def llks(C, mean, sigma, data, mask, block_size):
+        def inner(C, mean, sigma, data, mask):
+            return ml.llks(
+                C, mean, sigma, data, mask,
+                block_size=block_size, axis_model=axis_model,
+            )
+        return smap(
+            inner, (cspec, mspec, rep, rows, rows), P(DATA_AXIS)
+        )(C, mean, sigma, data, mask)
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
+    def llk(C, mean, sigma, data, mask, weights, block_size):
+        def inner(C, mean, sigma, data, mask, weights):
+            per = ml.llks(
+                C, mean, sigma, data, mask,
+                block_size=block_size, axis_model=axis_model,
+            )
+            return lax.psum(jnp.sum(per * weights), DATA_AXIS)
+        return smap(
+            inner, (cspec, mspec, rep, rows, rows, wspec), rep
+        )(C, mean, sigma, data, mask, weights)
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
+    def infer(C, mean, sigma, data, mask, block_size):
+        def inner(C, mean, sigma, data, mask):
+            return ml.infer(
+                C, mean, sigma, data, mask,
+                block_size=block_size, axis_model=axis_model,
+            )
+        return smap(
+            inner, (cspec, mspec, rep, rows, rows), (P(DATA_AXIS), P(DATA_AXIS))
+        )(C, mean, sigma, data, mask)
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
+    def smooth(C, mean, sigma, data, mask, block_size):
+        def inner(C, mean, sigma, data, mask):
+            states, _ = ml.infer(
+                C, mean, sigma, data, mask,
+                block_size=block_size, axis_model=axis_model,
+            )
+            return states @ C.T + mean
+        return smap(
+            inner, (cspec, mspec, rep, rows, rows), rows
+        )(C, mean, sigma, data, mask)
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
+    def extrapolate(C, mean, sigma, data, mask, block_size):
+        def inner(C, mean, sigma, data, mask):
+            states, _ = ml.infer(
+                C, mean, sigma, data, mask,
+                block_size=block_size, axis_model=axis_model,
+            )
+            smoothed = states @ C.T + mean
+            return jnp.where(mask, data, smoothed)
+        return smap(
+            inner, (cspec, mspec, rep, rows, rows), rows
+        )(C, mean, sigma, data, mask)
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
+    def em_step(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, block_size):
+        def inner(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior):
+            stats = ml.em_stats(
+                C, mean, sigma, data, mask, weights,
+                block_size=block_size, axis_model=axis_model,
+            )
+            # Data-axis reduction of all statistics; model-axis reductions of
+            # the few cross-D scalars happen inside em_finalize.
+            stats = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), stats)
+            new_C, new_mean, new_sigma = ml.em_finalize(
+                C, mean, sigma, stats,
+                transformation_precision=tprec,
+                noise_prior=noise_prior,
+                mean_prior=mean_prior,
+                axis_model=axis_model,
+            )
+            return new_C, new_mean, new_sigma, stats.llk
+        return smap(
+            inner,
+            (cspec, mspec, rep, rows, rows, wspec, rep, rep, rep),
+            (cspec, mspec, rep, rep),
+        )(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior)
+
+    return {
+        "llks": llks,
+        "llk": llk,
+        "infer": infer,
+        "smooth": smooth,
+        "extrapolate": extrapolate,
+        "em_step": em_step,
+    }

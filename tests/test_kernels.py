@@ -1,0 +1,89 @@
+"""Pallas fused SPD E-step kernel vs the XLA reference path.
+
+Runs in interpreter mode so CI (CPU) validates the exact kernel code that
+executes on TPU.  Covers full/partial/empty masks, k not a multiple of 8,
+and the neutrality of padding rows.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ppca_rs_tpu.ops import kernels
+from ppca_rs_tpu.ops import masked_linalg as ml
+
+
+def run_both(rng, B, D, k, sigma=0.7, empty_rows=(3,)):
+    C = jnp.asarray(rng.normal(size=(D, k)), jnp.float32)
+    mean = jnp.asarray(rng.normal(size=D), jnp.float32)
+    sig = jnp.float32(sigma)
+    data = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, D)) > 0.4)
+    for r in empty_rows:
+        mask = mask.at[r].set(False)
+    data = jnp.where(mask, data, 0.0)
+    mf = mask.astype(jnp.float32)
+
+    CC = ml.outer_flat(C)
+    post = ml.block_posterior(C, CC, mean, sig, data, mf)
+    Sigma = ml.block_covariances(post, sig)
+    want = {
+        "states": np.asarray(post.states),
+        "SM": np.asarray(post.states[:, :, None] * post.states[:, None, :] + Sigma),
+        "llk": np.asarray(ml.block_llk(post, sig, k)),
+        "sq": np.asarray(jnp.sum(post.G_local.reshape(B, k, k) * Sigma, axis=(1, 2))),
+    }
+
+    G3 = jnp.transpose(post.G_local.reshape(B, k, k), (1, 2, 0))
+    b_t = post.b.T
+    rnorm = jnp.sum(post.R * post.R, axis=-1)[None, :]
+    dob = jnp.sum(mf, axis=-1)[None, :]
+    s_t, SM3, llk, sq = kernels.spd_estep(sig, G3, b_t, rnorm, dob, interpret=True)
+    got = {
+        "states": np.asarray(s_t).T,
+        "SM": np.asarray(jnp.transpose(SM3, (2, 0, 1))),
+        "llk": np.asarray(llk)[0],
+        "sq": np.asarray(sq)[0],
+    }
+    return want, got
+
+
+@pytest.mark.parametrize("k", [2, 8, 13, 32])
+def test_kernel_matches_xla(rng, k):
+    want, got = run_both(rng, B=128, D=24, k=k)
+    np.testing.assert_allclose(got["states"], want["states"], rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(got["SM"], want["SM"], rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(got["llk"], want["llk"], rtol=3e-4, atol=3e-3)
+    np.testing.assert_allclose(got["sq"], want["sq"], rtol=3e-3, atol=3e-3)
+
+
+def test_kernel_empty_sample_neutral(rng):
+    """All-masked rows: zero llk, zero states, SM = identity (the
+    ``uninferred`` posterior with Sigma = I)."""
+    want, got = run_both(rng, B=128, D=16, k=4, empty_rows=(0, 5, 127))
+    for r in (0, 5, 127):
+        assert abs(got["llk"][r]) < 1e-5
+        np.testing.assert_allclose(got["states"][r], 0.0, atol=1e-6)
+        np.testing.assert_allclose(got["SM"][r], np.eye(4), rtol=1e-5, atol=1e-6)
+        assert abs(got["sq"][r]) < 1e-6
+
+
+def test_kernel_batch_alignment():
+    with pytest.raises(ValueError):
+        kernels.spd_estep(
+            jnp.float32(1.0),
+            jnp.zeros((4, 4, 100), jnp.float32),
+            jnp.zeros((4, 100), jnp.float32),
+            jnp.zeros((1, 100), jnp.float32),
+            jnp.zeros((1, 100), jnp.float32),
+            interpret=True,
+        )
+
+
+def test_supported_gate():
+    assert kernels.supported(64, 8192, jnp.float32)
+    assert not kernels.supported(0, 8192, jnp.float32)
+    assert not kernels.supported(100, 8192, jnp.float32)
+    assert not kernels.supported(64, 100, jnp.float32)
+    assert not kernels.supported(64, 8192, jnp.float64)

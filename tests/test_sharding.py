@@ -1,0 +1,111 @@
+"""Distribution tests on a virtual 8-device CPU mesh.
+
+The same jitted EM/llk under shard_map with NamedSharding must agree with the
+single-device path to f64 tolerance (SURVEY.md §4 multi-node testing note) —
+including N that does not divide the mesh (neutral-row padding) and 2D
+(data x model) meshes that shard the output dimension.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ppca_rs_tpu import Dataset, PPCAMix, PPCAModel, Prior
+from ppca_rs_tpu.parallel.mesh import dataset_mesh, make_mesh, shard_dataset
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def make_data(rng, n=101, d=8, k=3):
+    C = rng.normal(size=(d, k))
+    mean = rng.normal(size=d)
+    data = rng.normal(size=(n, d)) + mean
+    mask = rng.random((n, d)) > 0.3
+    mask[5] = False
+    data = np.where(mask, data, np.nan)
+    weights = rng.random(n) + 0.5
+    return PPCAModel(isotropic_noise=0.4, transform=C, mean=mean), Dataset(data, weights=weights)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_matches_single_device(rng, mesh_shape):
+    model, ds = make_data(rng)
+    mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+    sds = shard_dataset(ds, mesh)
+    assert dataset_mesh(sds) is mesh or dataset_mesh(sds).shape == mesh.shape
+    assert len(sds) == len(ds)
+
+    # llk / llks
+    assert np.isclose(model.llk(sds), model.llk(ds), rtol=1e-10)
+    np.testing.assert_allclose(model.llks(sds), model.llks(ds), rtol=1e-10)
+
+    # posterior
+    inf_s = model.infer(sds)
+    inf_d = model.infer(ds)
+    np.testing.assert_allclose(inf_s.states(), inf_d.states(), rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(
+        inf_s.covariances_array(), inf_d.covariances_array(), rtol=1e-8, atol=1e-12
+    )
+
+    # readouts
+    np.testing.assert_allclose(model.smooth(sds).numpy(), model.smooth(ds).numpy(), rtol=1e-8)
+    np.testing.assert_allclose(
+        model.extrapolate(sds).numpy(), model.extrapolate(ds).numpy(), rtol=1e-8
+    )
+
+    # EM step (plain)
+    m_s = model.iterate(sds)
+    m_d = model.iterate(ds)
+    np.testing.assert_allclose(m_s.transform, m_d.transform, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(m_s.mean, m_d.mean, rtol=1e-8, atol=1e-12)
+    assert np.isclose(m_s.isotropic_noise, m_d.isotropic_noise, rtol=1e-10)
+
+
+def test_sharded_em_with_priors(rng):
+    model, ds = make_data(rng, n=64, d=8, k=2)
+    mesh = make_mesh(data=4, model=2)
+    sds = shard_dataset(ds, mesh)
+    prior = (
+        Prior()
+        .with_isotropic_noise_prior(3.0, 2.0)
+        .with_transformation_precision(0.5)
+        .with_mean_prior(rng.normal(size=8), np.eye(8) * 0.7)
+    )
+    m_s = model.iterate_with_prior(sds, prior)
+    m_d = model.iterate_with_prior(ds, prior)
+    np.testing.assert_allclose(m_s.transform, m_d.transform, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(m_s.mean, m_d.mean, rtol=1e-8, atol=1e-12)
+    assert np.isclose(m_s.isotropic_noise, m_d.isotropic_noise, rtol=1e-10)
+
+
+def test_sharded_mixture_em(rng):
+    _, ds = make_data(rng, n=48, d=8, k=2)
+    mesh = make_mesh(data=8, model=1)
+    sds = shard_dataset(ds, mesh)
+    mix = PPCAMix.init(2, 2, ds, key=jax.random.PRNGKey(0))
+    m_s = mix.iterate(sds)
+    m_d = mix.iterate(ds)
+    np.testing.assert_allclose(m_s.log_weights, m_d.log_weights, rtol=1e-8)
+    for a, b in zip(m_s.models, m_d.models):
+        np.testing.assert_allclose(a.transform, b.transform, rtol=1e-7, atol=1e-10)
+    assert np.isclose(m_s.llk(sds), m_d.llk(ds), rtol=1e-9)
+
+
+def test_shard_dataset_requires_divisible_d(rng):
+    _, ds = make_data(rng, n=16, d=7)
+    mesh = make_mesh(data=4, model=2)
+    with pytest.raises(ValueError):
+        shard_dataset(ds, mesh)
+
+
+def test_sharded_dataset_roundtrips(rng):
+    _, ds = make_data(rng, n=101, d=8)
+    mesh = make_mesh(data=8, model=1)
+    sds = shard_dataset(ds, mesh)
+    assert len(sds) == 101
+    assert sds.padded_len == 104
+    np.testing.assert_allclose(sds.numpy(), ds.numpy())
+    np.testing.assert_allclose(sds.weights_numpy(), ds.weights_numpy())
