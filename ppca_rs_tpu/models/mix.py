@@ -197,6 +197,17 @@ class PPCAMix:
     # ------------------------------------------------------------------ #
     # inference (mix.rs:193-265)
 
+    def uninferred(self, n: int = 1) -> "InferredMaskedMix":
+        """The prior mixture posterior: log-weights as responsibilities and
+        each component's uninferred batch (`mix.rs:193-202`)."""
+        log_post = jnp.broadcast_to(self._log_weights[None, :], (n, len(self._models)))
+        return InferredMaskedMix(self, log_post, [m.uninferred(n) for m in self._models])
+
+    def inferred_one(self, log_posterior, inferred: List[InferredMasked]) -> "InferredMaskedMix":
+        """Build from raw values (`mix.rs:218-227`)."""
+        log_post = jnp.atleast_2d(jnp.asarray(log_posterior))
+        return InferredMaskedMix(self, log_post, list(inferred))
+
     def infer(self, dataset: Dataset) -> "InferredMaskedMix":
         per = self._component_llks(dataset)
         log_post = _log_softmax_jit(per + self._log_weights[None, :])[: len(dataset)]

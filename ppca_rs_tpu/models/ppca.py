@@ -366,6 +366,26 @@ class PPCAModel:
     # ------------------------------------------------------------------ #
     # inference (ppca_model.rs:195-261)
 
+    def uninferred(self, n: int = 1) -> "InferredMasked":
+        """Zeroed posterior batch compatible with this model — the prior
+        N(0, I) used for all-masked samples (`ppca_model.rs:98-104`)."""
+        k = self.state_size
+        dtype = self._transform.dtype
+        return InferredMasked(
+            self,
+            jnp.zeros((n, k), dtype=dtype),
+            jnp.broadcast_to(jnp.eye(k, dtype=dtype), (n, k, k)),
+        )
+
+    def inferred_one(self, state, covariance) -> "InferredMasked":
+        """Build a posterior batch from raw values (`ppca_model.rs:211-217`);
+        accepts a single (k,)/(k,k) pair or stacked (n,k)/(n,k,k) arrays."""
+        state = jnp.atleast_2d(jnp.asarray(state, dtype=self._transform.dtype))
+        covariance = jnp.asarray(covariance, dtype=self._transform.dtype)
+        if covariance.ndim == 2:
+            covariance = covariance[None]
+        return InferredMasked(self, state, covariance)
+
     def infer(self, dataset: Dataset) -> "InferredMasked":
         states, covs = self._infer_arrays(dataset)
         return InferredMasked(self, states, covs)

@@ -22,6 +22,7 @@ from .dataset import Dataset
 from .models.mix import PPCAMix
 from .models.ppca import PPCAModel
 from .prior import Prior
+from .utils.profiling import trace
 
 
 @dataclass(frozen=True)
@@ -65,23 +66,25 @@ class PPCATrainer:
         quiet: bool = False,
         callback: Optional[MetricsCallback] = None,
         key=None,
+        profile_dir: Optional[str] = None,
     ) -> PPCAModel:
         model = start if start is not None else PPCAModel.init(state_size, self.dataset, key=key)
         n = len(self.dataset)
 
-        for idx in range(n_iters):
-            # Fused: llk of the current model + the EM update in one pass.
-            new_model, llk = model._iterate_with_llk(self.dataset, prior)
-            if not quiet or callback is not None:
-                metrics = TrainMetrics.compute(llk, model.n_parameters, n)
-                if callback is not None:
-                    callback(idx + 1, metrics)
-                if not quiet:
-                    print(
-                        f"Masked PPCA iteration {idx + 1}: "
-                        f"{metric}={getattr(metrics, metric)}"
-                    )
-            model = new_model
+        with trace(profile_dir):
+            for idx in range(n_iters):
+                # Fused: llk of the current model + the EM update in one pass.
+                new_model, llk = model._iterate_with_llk(self.dataset, prior)
+                if not quiet or callback is not None:
+                    metrics = TrainMetrics.compute(llk, model.n_parameters, n)
+                    if callback is not None:
+                        callback(idx + 1, metrics)
+                    if not quiet:
+                        print(
+                            f"Masked PPCA iteration {idx + 1}: "
+                            f"{metric}={getattr(metrics, metric)}"
+                        )
+                model = new_model
 
         return model.to_canonical()
 
@@ -105,6 +108,7 @@ class PPCAMixTrainer:
         quiet: bool = False,
         callback: Optional[MetricsCallback] = None,
         key=None,
+        profile_dir: Optional[str] = None,
     ) -> PPCAMix:
         model = (
             start
@@ -113,21 +117,22 @@ class PPCAMixTrainer:
         )
         n = len(self.dataset)
 
-        for idx in range(n_iters):
-            if not quiet or callback is not None:
-                llk = model.llk(self.dataset)
-                metrics = TrainMetrics.compute(llk, model.n_parameters, n)
-                if callback is not None:
-                    callback(idx + 1, metrics)
-                if not quiet:
-                    print(
-                        f"Masked PPCA mix iteration {idx + 1}: "
-                        f"{metric}={getattr(metrics, metric)}"
-                    )
-            model = (
-                model.iterate_with_prior(self.dataset, prior)
-                if prior is not None
-                else model.iterate(self.dataset)
-            )
+        with trace(profile_dir):
+            for idx in range(n_iters):
+                if not quiet or callback is not None:
+                    llk = model.llk(self.dataset)
+                    metrics = TrainMetrics.compute(llk, model.n_parameters, n)
+                    if callback is not None:
+                        callback(idx + 1, metrics)
+                    if not quiet:
+                        print(
+                            f"Masked PPCA mix iteration {idx + 1}: "
+                            f"{metric}={getattr(metrics, metric)}"
+                        )
+                model = (
+                    model.iterate_with_prior(self.dataset, prior)
+                    if prior is not None
+                    else model.iterate(self.dataset)
+                )
 
         return model.to_canonical()
