@@ -1,0 +1,22 @@
+# Build/test/bench entry points (capability twin of the reference Makefile).
+
+.PHONY: test test-fast bench native examples clean
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -x -q -k "not sharding"
+
+native:
+	python -c "from ppca_rs_tpu.native import packing; assert packing._get_lib() is not None, 'native build failed'; print('native packing library built')"
+
+bench:
+	python bench.py
+
+examples:
+	for f in examples/*.py; do echo "== $$f"; PYTHONPATH=.:$$PYTHONPATH python $$f || exit 1; done
+
+clean:
+	rm -f ppca_rs_tpu/native/*.so ppca_rs_tpu/native/*.so.tmp
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -233,8 +233,17 @@ class PPCAMix:
     def iterate_with_prior(self, dataset: Dataset, prior: Prior) -> "PPCAMix":
         """One mixture EM iteration: responsibilities in the log domain, then
         a reweighted inner EM per component (`mix.rs:281-337`)."""
+        new_mix, _ = self._iterate_with_llk(dataset, prior)
+        return new_mix
+
+    def _iterate_with_llk(self, dataset: Dataset, prior: Prior):
+        """Fused mixture EM step returning (new mixture, llk of *this* mixture
+        on the dataset) — the responsibilities pass already computes every
+        per-component llk, so the dataset llk is free."""
         per = self._component_llks(dataset)                      # (N, M)
-        log_post = _log_softmax_jit(per + self._log_weights[None, :])
+        joint = per + self._log_weights[None, :]
+        llk = float(jnp.sum(_logsumexp_jit(joint) * dataset.weights))
+        log_post = _log_softmax_jit(joint)
         log_w_data = jnp.log(dataset.weights)                    # -inf for w=0 drops the sample
         new_models: List[PPCAModel] = []
         new_log_weights: List[jnp.ndarray] = []
@@ -248,7 +257,7 @@ class PPCAMix:
             reweighted = dataset.with_weights(unnorm)
             new_models.append(model.iterate_with_prior(reweighted, prior))
             new_log_weights.append(logsum)
-        return PPCAMix(new_models, jnp.stack(new_log_weights))
+        return PPCAMix(new_models, jnp.stack(new_log_weights)), llk
 
     def to_canonical(self) -> "PPCAMix":
         """Map PPCAModel::to_canonical over components (`mix.rs:340-346`)."""

@@ -16,12 +16,21 @@ VPU op over 128 samples at once:
     M^{-1} = W^T W               # accumulated outer products
     s = M^{-1} b                 # posterior state
     SM = s s^T + sigma^2 M^{-1}  # E[xx^T] second moment (M-step input)
-    sq = sigma^2 <G, M^{-1}>     # tr(G Sigma) noise-update term
+    sq = sigma^2 <G, M^{-1}>     # tr(G Sigma), via <G,M^{-1}> = k - s2 tr(M^{-1})
     llk                          # full per-sample log-likelihood
 
 All loops are `fori_loop`s over the k columns; each iteration touches
 (k, k, 128) tiles with leading-axis dynamic indexing only (cheap on TPU —
 no cross-lane shuffles, no sublane-dynamic writes).
+
+VMEM budget: the G input streams by one manual DMA straight into the working
+copy A (no pipelined double-buffer for it), and the tail needs no G because
+``<G, M^{-1}> = k - sigma^2 tr(M^{-1})`` (G = M - sigma^2 I, tr(M M^{-1}) = k).
+The SM output stays a pipelined block so its store overlaps the next tile's
+compute.  A panel-blocked (rank-8 update) variant was tried and measured
+*slower* (7.9 vs 4.9 ms per 8k block): the kernel is VPU-compute bound, not
+VMEM-bandwidth bound, and short serial (k, T) panel ops pipeline worse than
+the big rank-1 (k, k, T) updates.
 
 Equivalent to (and tested against) the XLA path in
 `ops/masked_linalg.block_posterior` + `block_covariances` + `block_llk`,
@@ -31,7 +40,6 @@ which mirrors `ppca/src/output_covariance.rs` / `ppca_model.rs:195-208`.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,21 +50,26 @@ from jax.experimental.pallas import tpu as pltpu
 LN_2PI = 1.8378770664093453
 
 LANE = 128
-MAX_K = 80  # VMEM budget: 3 scratch + 1 in + 1 out (k,k,128) f32 buffers
+MAX_K = 72  # VMEM budget: 3 scratch + 2x pipelined SM out (k,k,128) f32 buffers
 
 
-def _spd_estep_kernel(sigma_ref, G_ref, b_ref, rn_ref, dob_ref,
+def _spd_estep_kernel(sigma_ref, G_hbm, b_ref, rn_ref, dob_ref,
                       s_ref, SM_ref, llk_ref, sq_ref,
-                      A_scr, L_scr, W_scr):
-    k = G_ref.shape[0]
-    T = G_ref.shape[2]
+                      A_scr, L_scr, W_scr, in_sem):
+    k = A_scr.shape[0]
+    T = A_scr.shape[2]
     sigma2 = sigma_ref[0, 0]
     ii = lax.broadcasted_iota(jnp.int32, (k, T), 0)   # row index over (k, T)
+    i = pl.program_id(0)
 
-    # A = G + sigma^2 I   (working copy; consumed by the factorization)
+    # Stream this tile's G straight into the working copy A.
+    copy_in = pltpu.make_async_copy(G_hbm.at[:, :, pl.ds(i * T, T)], A_scr, in_sem)
+    copy_in.start()
+
     eye_col = (lax.broadcasted_iota(jnp.int32, (k, k, 1), 0)
-               == lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)).astype(G_ref.dtype)
-    A_scr[...] = G_ref[...] + sigma2 * eye_col
+               == lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)).astype(b_ref.dtype)
+    copy_in.wait()
+    A_scr[...] = A_scr[...] + sigma2 * eye_col        # A = G + sigma^2 I
 
     # --- Cholesky, right-looking.  Column j of A after j rank-1 updates
     # holds M[:,j] - sum_{p<j} L[:,p] L[j,p]; its diagonal entry is L_jj^2.
@@ -69,11 +82,11 @@ def _spd_estep_kernel(sigma_ref, G_ref, b_ref, rn_ref, dob_ref,
         A_scr[...] = A_scr[...] - lcol[:, None, :] * lcol[None, :, :]
         return logdet + jnp.log(diag)
 
-    logdet = lax.fori_loop(0, k, chol_body, jnp.zeros((T,), G_ref.dtype))
+    logdet = lax.fori_loop(0, k, chol_body, jnp.zeros((T,), b_ref.dtype))
 
     # --- W = L^{-1} by right-looking forward solve against I.
     # Res (reusing A) rows: Res[i] = residual of equation i over rhs m.
-    A_scr[...] = eye_col * jnp.ones((1, 1, T), G_ref.dtype)
+    A_scr[...] = eye_col * jnp.ones((1, 1, T), b_ref.dtype)
 
     def w_body(j, _):
         lcol = L_scr[j]                                   # (k, T)
@@ -95,11 +108,12 @@ def _spd_estep_kernel(sigma_ref, G_ref, b_ref, rn_ref, dob_ref,
 
     lax.fori_loop(0, k, minv_body, 0)
 
-    # --- posterior state s = M^{-1} b; llk pieces; SM = s s^T + sigma^2 M^{-1}
+    # --- posterior state s = M^{-1} b; llk; sq via the trace identity.
     b = b_ref[...]                                        # (k, T)
     s = jnp.sum(SM_ref[...] * b[None, :, :], axis=1)      # (k, T)
     s_ref[...] = s
-    sq_ref[...] = (sigma2 * jnp.sum(G_ref[...] * SM_ref[...], axis=(0, 1)))[None, :]
+    tr_minv = jnp.sum(SM_ref[...] * eye_col, axis=(0, 1))
+    sq_ref[...] = (sigma2 * (k - sigma2 * tr_minv))[None, :]
 
     bs = jnp.sum(b * s, axis=0)                           # (T,)
     rnorm = rn_ref[0, :]
@@ -108,6 +122,7 @@ def _spd_estep_kernel(sigma_ref, G_ref, b_ref, rn_ref, dob_ref,
     ld = logdet + jnp.log(sigma2) * (d_obs - k)
     llk_ref[...] = (-0.5 * (quad + ld + LN_2PI * d_obs))[None, :]
 
+    # SM = s s^T + sigma^2 M^{-1}  (in place, streamed out by the pipeline)
     SM_ref[...] = s[:, None, :] * s[None, :, :] + sigma2 * SM_ref[...]
 
 
@@ -134,9 +149,6 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
     sigma2 = (sigma * sigma).astype(dtype).reshape(1, 1)
     grid = (B // LANE,)
 
-    def col_spec():
-        return pl.BlockSpec((k, k, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-
     def vec_spec(rows):
         return pl.BlockSpec((rows, LANE), lambda i: (0, i), memory_space=pltpu.VMEM)
 
@@ -145,12 +157,17 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            col_spec(),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # G streams by manual DMA
             vec_spec(k),
             vec_spec(1),
             vec_spec(1),
         ],
-        out_specs=(vec_spec(k), col_spec(), vec_spec(1), vec_spec(1)),
+        out_specs=(
+            vec_spec(k),
+            pl.BlockSpec((k, k, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            vec_spec(1),
+            vec_spec(1),
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((k, B), dtype),
             jax.ShapeDtypeStruct((k, k, B), dtype),
@@ -158,9 +175,10 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
             jax.ShapeDtypeStruct((1, B), dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((k, k, LANE), dtype),
-            pltpu.VMEM((k, k, LANE), dtype),
-            pltpu.VMEM((k, k, LANE), dtype),
+            pltpu.VMEM((k, k, LANE), dtype),        # A / Res working copy
+            pltpu.VMEM((k, k, LANE), dtype),        # L
+            pltpu.VMEM((k, k, LANE), dtype),        # W = L^{-1}
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(sigma2, G3, b_t, rnorm, d_obs)

@@ -117,10 +117,16 @@ class PPCAMixTrainer:
         )
         n = len(self.dataset)
 
+        from .prior import Prior as _Prior
+
         with trace(profile_dir):
             for idx in range(n_iters):
+                # Fused: the responsibilities pass of the mixture EM already
+                # yields the dataset llk of the current model.
+                new_model, llk = model._iterate_with_llk(
+                    self.dataset, prior if prior is not None else _Prior()
+                )
                 if not quiet or callback is not None:
-                    llk = model.llk(self.dataset)
                     metrics = TrainMetrics.compute(llk, model.n_parameters, n)
                     if callback is not None:
                         callback(idx + 1, metrics)
@@ -129,10 +135,6 @@ class PPCAMixTrainer:
                             f"Masked PPCA mix iteration {idx + 1}: "
                             f"{metric}={getattr(metrics, metric)}"
                         )
-                model = (
-                    model.iterate_with_prior(self.dataset, prior)
-                    if prior is not None
-                    else model.iterate(self.dataset)
-                )
+                model = new_model
 
         return model.to_canonical()
