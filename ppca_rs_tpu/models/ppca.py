@@ -100,13 +100,13 @@ def _em_step_jit(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_p
 
 @functools.partial(jax.jit, static_argnames=("block_size",))
 def _smooth_jit(C, mean, sigma, data, mask, block_size):
-    states, _ = ml.infer(C, mean, sigma, data, mask, block_size=block_size)
+    states = ml.states(C, mean, sigma, data, mask, block_size=block_size)
     return states @ C.T + mean
 
 
 @functools.partial(jax.jit, static_argnames=("block_size",))
 def _extrapolate_jit(C, mean, sigma, data, mask, block_size):
-    states, _ = ml.infer(C, mean, sigma, data, mask, block_size=block_size)
+    states = ml.states(C, mean, sigma, data, mask, block_size=block_size)
     smoothed = states @ C.T + mean
     return jnp.where(mask, data, smoothed)
 

@@ -7,28 +7,35 @@ the one part of the EM that XLA:TPU runs badly — batched `cholesky` /
 matmuls of the same block combined).  The fix is a single fused kernel that
 lays the batch out on the *lane* dimension — shape (k, k, B) with B on the
 128-wide lanes — so every scalar step of the factorization is an elementwise
-VPU op over 128 samples at once:
+VPU op over 128 samples at once.
 
-    A = sigma^2 I + G            # per-sample masked Gram (input, from MXU)
-    L = chol(A)                  # right-looking, outer-product updates
-    logdet = sum log diag        # matrix-determinant-lemma piece
-    W = L^{-1}                   # right-looking forward solve vs I
-    M^{-1} = W^T W               # accumulated outer products
-    s = M^{-1} b                 # posterior state
-    SM = s s^T + sigma^2 M^{-1}  # E[xx^T] second moment (M-step input)
-    sq = sigma^2 <G, M^{-1}>     # tr(G Sigma), via <G,M^{-1}> = k - s2 tr(M^{-1})
-    llk                          # full per-sample log-likelihood
+The factorization, the inverse and every downstream quantity come out of ONE
+loop over the k columns.  At column j (with A the working copy of
+``M = sigma^2 I + G`` and Res the working residuals of ``L W = I``):
 
-All loops are `fori_loop`s over the k columns; each iteration touches
-(k, k, 128) tiles with leading-axis dynamic indexing only (cheap on TPU —
-no cross-lane shuffles, no sublane-dynamic writes).
+    lcol_j = A[:,j] / sqrt(A[j,j])        # column j of L (Cholesky)
+    A     -= lcol_j lcol_j^T              # right-looking rank-1 update
+    wrow_j = Res[j] / L_jj                # row j of W = L^{-1}
+    Res   -= lcol_j wrow_j^T              # rank-1 update
+    logdet += log A[j,j]
+    s      += wrow_j (wrow_j . b)         # s = M^{-1} b   (M^{-1} = W^T W)
+    M^{-1} += wrow_j wrow_j^T             # only for the "full" variant
 
-VMEM budget: the G input streams by one manual DMA straight into the working
-copy A (no pipelined double-buffer for it), and the tail needs no G because
-``<G, M^{-1}> = k - sigma^2 tr(M^{-1})`` (G = M - sigma^2 I, tr(M M^{-1}) = k).
-The SM output stays a pipelined block so its store overlaps the next tile's
-compute.  A panel-blocked (rank-8 update) variant was tried and measured
-*slower* (7.9 vs 4.9 ms per 8k block): the kernel is VPU-compute bound, not
+Neither L nor W is ever materialized.  Three variants are generated from one
+template via the static ``want`` flag — ``"llk"`` does only the Cholesky +
+forward substitution (llks / responsibilities passes), ``"states"`` adds the
+posterior means (smooth / extrapolate), and ``"full"`` also emits second
+moments ``SM = s s^T + sigma^2 M^{-1}`` and the noise-update term
+``sq = tr(G Sigma)`` via the trace identity
+``<G, M^{-1}> = k - sigma^2 tr(M^{-1})`` (EM, infer).
+
+All loops are `fori_loop`s touching (k, k, 128) tiles with leading-axis
+dynamic indexing only (no cross-lane shuffles, no sublane-dynamic writes).
+The G input streams from HBM with a manually double-buffered DMA (overlapped
+with the previous tile's compute); the SM output remains a pipelined block.
+
+A panel-blocked (rank-8 update) variant was tried and measured *slower*
+(7.9 vs 4.9 ms per 8k block): the kernel is VPU-compute bound, not
 VMEM-bandwidth bound, and short serial (k, T) panel ops pipeline worse than
 the big rank-1 (k, k, T) updates.
 
@@ -50,85 +57,131 @@ from jax.experimental.pallas import tpu as pltpu
 LN_2PI = 1.8378770664093453
 
 LANE = 128
-MAX_K = 72  # VMEM budget: 3 scratch + 2x pipelined SM out (k,k,128) f32 buffers
+MAX_K = 72  # VMEM: A double-buffer (2x) + Res + 2x pipelined SM out, f32
+
+WANTS = ("llk", "states", "full")
 
 
-def _spd_estep_kernel(sigma_ref, G_hbm, b_ref, rn_ref, dob_ref,
-                      s_ref, SM_ref, llk_ref, sq_ref,
-                      A_scr, L_scr, W_scr, in_sem):
-    k = A_scr.shape[0]
-    T = A_scr.shape[2]
-    sigma2 = sigma_ref[0, 0]
-    ii = lax.broadcasted_iota(jnp.int32, (k, T), 0)   # row index over (k, T)
-    i = pl.program_id(0)
+def _make_kernel(want: str):
+    def kernel(sigma_ref, G_hbm, b_ref, rn_ref, dob_ref, *rest):
+        if want == "llk":
+            (llk_ref, A_scr, in_sems) = rest
+            Res_scr = None
+            SM_ref = None
+        elif want == "states":
+            (s_ref, llk_ref, A_scr, Res_scr, in_sems) = rest
+            SM_ref = None
+        else:
+            (s_ref, SM_ref, llk_ref, sq_ref, A_scr, Res_scr, in_sems) = rest
 
-    # Stream this tile's G straight into the working copy A.
-    copy_in = pltpu.make_async_copy(G_hbm.at[:, :, pl.ds(i * T, T)], A_scr, in_sem)
-    copy_in.start()
+        k = A_scr.shape[1]
+        T = A_scr.shape[3]
+        sigma2 = sigma_ref[0, 0]
+        dtype = b_ref.dtype
+        ii = lax.broadcasted_iota(jnp.int32, (k, T), 0)   # row index over (k, T)
+        i = pl.program_id(0)
+        n_tiles = pl.num_programs(0)
+        two = jnp.asarray(2, jnp.asarray(i).dtype)
+        cur = lax.rem(jnp.asarray(i), two)
+        nxt = lax.rem(jnp.asarray(i) + 1, two)
 
-    eye_col = (lax.broadcasted_iota(jnp.int32, (k, k, 1), 0)
-               == lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)).astype(b_ref.dtype)
-    copy_in.wait()
-    A_scr[...] = A_scr[...] + sigma2 * eye_col        # A = G + sigma^2 I
+        def g_copy(slot, tile):
+            return pltpu.make_async_copy(
+                G_hbm.at[:, :, pl.ds(tile * T, T)], A_scr.at[slot], in_sems.at[slot]
+            )
 
-    # --- Cholesky, right-looking.  Column j of A after j rank-1 updates
-    # holds M[:,j] - sum_{p<j} L[:,p] L[j,p]; its diagonal entry is L_jj^2.
-    def chol_body(j, logdet):
-        colM = A_scr[j]                                   # (k, T)
-        diag = jnp.sum(jnp.where(ii == j, colM, 0.0), axis=0)   # (T,)
-        lcol = colM * lax.rsqrt(diag)[None, :]
-        lcol = jnp.where(ii >= j, lcol, 0.0)              # lcol[j] = sqrt(diag)
-        L_scr[j] = lcol
-        A_scr[...] = A_scr[...] - lcol[:, None, :] * lcol[None, :, :]
-        return logdet + jnp.log(diag)
+        #
 
-    logdet = lax.fori_loop(0, k, chol_body, jnp.zeros((T,), b_ref.dtype))
+        @pl.when(i == 0)
+        def _():
+            g_copy(cur, i).start()
 
-    # --- W = L^{-1} by right-looking forward solve against I.
-    # Res (reusing A) rows: Res[i] = residual of equation i over rhs m.
-    A_scr[...] = eye_col * jnp.ones((1, 1, T), b_ref.dtype)
+        @pl.when(i + 1 < n_tiles)
+        def _():
+            g_copy(nxt, i + 1).start()
 
-    def w_body(j, _):
-        lcol = L_scr[j]                                   # (k, T)
-        ljj = jnp.sum(jnp.where(ii == j, lcol, 0.0), axis=0)
-        wrow = A_scr[j] / ljj[None, :]                    # (k_m, T)
-        W_scr[j] = wrow
-        A_scr[...] = A_scr[...] - lcol[:, None, :] * wrow[None, :, :]
-        return 0
+        g_copy(cur, i).wait()             # A[cur] now holds G (no sigma^2 yet)
 
-    lax.fori_loop(0, k, w_body, 0)
+        if Res_scr is not None:
+            eye3 = (lax.broadcasted_iota(jnp.int32, (k, k, T), 0)
+                    == lax.broadcasted_iota(jnp.int32, (k, k, T), 1)).astype(dtype)
+            Res_scr[...] = eye3
+        if SM_ref is not None:
+            SM_ref[...] = jnp.zeros_like(SM_ref)
 
-    # --- M^{-1} = W^T W accumulated into the SM output buffer.
-    SM_ref[...] = jnp.zeros_like(SM_ref)
+        b = b_ref[...]                                    # (k, T)
+        rnorm = rn_ref[0, :]
+        d_obs = dob_ref[0, :]
 
-    def minv_body(j, _):
-        wrow = W_scr[j]                                   # (k, T)
-        SM_ref[...] = SM_ref[...] + wrow[:, None, :] * wrow[None, :, :]
-        return 0
+        # ---- the single fused column loop -------------------------------
+        if want == "llk":
+            # carry: (logdet (T,), r residual (k,T), quad accumulator (T,))
+            def body(j, carry):
+                logdet, r, quad = carry
+                sel = (ii == j).astype(dtype)
+                colM = A_scr[cur, j] + sigma2 * sel
+                diag = jnp.sum(jnp.where(ii == j, colM, 0.0), axis=0)
+                inv_sqrt = lax.rsqrt(diag)
+                lcol = jnp.where(ii >= j, colM * inv_sqrt[None, :], 0.0)
+                A_scr[cur] = A_scr[cur] - lcol[:, None, :] * lcol[None, :, :]
+                # forward substitution step: y_j = r_j / L_jj
+                yj = jnp.sum(jnp.where(ii == j, r, 0.0), axis=0) * inv_sqrt
+                r = r - yj[None, :] * lcol
+                return (logdet + jnp.log(diag), r, quad + yj * yj)
 
-    lax.fori_loop(0, k, minv_body, 0)
+            logdet, _, quad_b = lax.fori_loop(
+                0, k, body, (jnp.zeros((T,), dtype), b, jnp.zeros((T,), dtype))
+            )
+            quad = (rnorm - quad_b) / sigma2
+            ld = logdet + jnp.log(sigma2) * (d_obs - k)
+            llk_ref[...] = (-0.5 * (quad + ld + LN_2PI * d_obs))[None, :]
+            return
 
-    # --- posterior state s = M^{-1} b; llk; sq via the trace identity.
-    b = b_ref[...]                                        # (k, T)
-    s = jnp.sum(SM_ref[...] * b[None, :, :], axis=1)      # (k, T)
-    s_ref[...] = s
-    tr_minv = jnp.sum(SM_ref[...] * eye_col, axis=(0, 1))
-    sq_ref[...] = (sigma2 * (k - sigma2 * tr_minv))[None, :]
+        def body(j, carry):
+            logdet, s = carry
+            sel_f = (ii == j).astype(dtype)
+            colM = A_scr[cur, j] + sigma2 * sel_f
+            diag = jnp.sum(jnp.where(ii == j, colM, 0.0), axis=0)
+            inv_sqrt = lax.rsqrt(diag)
+            lcol = jnp.where(ii >= j, colM * inv_sqrt[None, :], 0.0)
+            A_scr[cur] = A_scr[cur] - lcol[:, None, :] * lcol[None, :, :]
+            # row j of W = L^{-1}: Res[j] / L_jj, then rank-1 residual update
+            wrow = Res_scr[j] * inv_sqrt[None, :]
+            Res_scr[...] = Res_scr[...] - lcol[:, None, :] * wrow[None, :, :]
+            # s = M^{-1} b = sum_j wrow_j (wrow_j . b)
+            s = s + wrow * jnp.sum(wrow * b, axis=0)[None, :]
+            if SM_ref is not None:
+                SM_ref[...] = SM_ref[...] + wrow[:, None, :] * wrow[None, :, :]
+            return (logdet + jnp.log(diag), s)
 
-    bs = jnp.sum(b * s, axis=0)                           # (T,)
-    rnorm = rn_ref[0, :]
-    d_obs = dob_ref[0, :]
-    quad = (rnorm - bs) / sigma2
-    ld = logdet + jnp.log(sigma2) * (d_obs - k)
-    llk_ref[...] = (-0.5 * (quad + ld + LN_2PI * d_obs))[None, :]
+        logdet, s = lax.fori_loop(
+            0, k, body, (jnp.zeros((T,), dtype), jnp.zeros((k, T), dtype))
+        )
 
-    # SM = s s^T + sigma^2 M^{-1}  (in place, streamed out by the pipeline)
-    SM_ref[...] = s[:, None, :] * s[None, :, :] + sigma2 * SM_ref[...]
+        s_ref[...] = s
+        bs = jnp.sum(b * s, axis=0)
+        quad = (rnorm - bs) / sigma2
+        ld = logdet + jnp.log(sigma2) * (d_obs - k)
+        llk_ref[...] = (-0.5 * (quad + ld + LN_2PI * d_obs))[None, :]
+
+        if SM_ref is not None:
+            eye_col = (lax.broadcasted_iota(jnp.int32, (k, k, 1), 0)
+                       == lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)).astype(dtype)
+            tr_minv = jnp.sum(SM_ref[...] * eye_col, axis=(0, 1))
+            sq_ref[...] = (sigma2 * (k - sigma2 * tr_minv))[None, :]
+            # SM = s s^T + sigma^2 M^{-1}
+            SM_ref[...] = s[:, None, :] * s[None, :, :] + sigma2 * SM_ref[...]
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+_KERNELS = {w: _make_kernel(w) for w in WANTS}
+
+
+@functools.partial(jax.jit, static_argnames=("want", "interpret"))
 def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
-              rnorm: jax.Array, d_obs: jax.Array, *, interpret: bool = False):
+              rnorm: jax.Array, d_obs: jax.Array, *,
+              want: str = "full", interpret: bool = False):
     """Fused batched SPD E-step.
 
     Args:
@@ -137,11 +190,15 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
       b_t: (k, B) per-sample ``C^T (m * (y - mu))``.
       rnorm: (1, B) squared norms of the masked centered samples.
       d_obs: (1, B) observed-entry counts.
+      want: "llk" -> (llk,); "states" -> (s_t, llk);
+            "full" -> (s_t, SM3, llk, sq).
 
-    Returns:
-      s_t (k, B) posterior states, SM3 (k, k, B) second moments
-      ``s s^T + sigma^2 M^{-1}``, llk (1, B), sq (1, B) = ``tr(G Sigma)``.
+    Returns (per ``want``): s_t (k, B) posterior states, SM3 (k, k, B) second
+    moments ``s s^T + sigma^2 M^{-1}``, llk (1, B) log-likelihoods,
+    sq (1, B) = ``tr(G Sigma)``.
     """
+    if want not in WANTS:
+        raise ValueError(f"want must be one of {WANTS}")
     k, _, B = G3.shape
     if B % LANE != 0:
         raise ValueError(f"batch {B} must be a multiple of {LANE}")
@@ -152,8 +209,37 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
     def vec_spec(rows):
         return pl.BlockSpec((rows, LANE), lambda i: (0, i), memory_space=pltpu.VMEM)
 
+    a_scr = pltpu.VMEM((2, k, k, LANE), dtype)       # double-buffered G/A
+    res_scr = pltpu.VMEM((k, k, LANE), dtype)
+    sems = pltpu.SemaphoreType.DMA((2,))
+    if want == "llk":
+        out_specs = (vec_spec(1),)
+        out_shape = (jax.ShapeDtypeStruct((1, B), dtype),)
+        scratch = [a_scr, sems]
+    elif want == "states":
+        out_specs = (vec_spec(k), vec_spec(1))
+        out_shape = (
+            jax.ShapeDtypeStruct((k, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+        )
+        scratch = [a_scr, res_scr, sems]
+    else:
+        out_specs = (
+            vec_spec(k),
+            pl.BlockSpec((k, k, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            vec_spec(1),
+            vec_spec(1),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((k, B), dtype),
+            jax.ShapeDtypeStruct((k, k, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+        )
+        scratch = [a_scr, res_scr, sems]
+
     out = pl.pallas_call(
-        _spd_estep_kernel,
+        _KERNELS[want],
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -162,24 +248,9 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
             vec_spec(1),
             vec_spec(1),
         ],
-        out_specs=(
-            vec_spec(k),
-            pl.BlockSpec((k, k, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            vec_spec(1),
-            vec_spec(1),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((k, B), dtype),
-            jax.ShapeDtypeStruct((k, k, B), dtype),
-            jax.ShapeDtypeStruct((1, B), dtype),
-            jax.ShapeDtypeStruct((1, B), dtype),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((k, k, LANE), dtype),        # A / Res working copy
-            pltpu.VMEM((k, k, LANE), dtype),        # L
-            pltpu.VMEM((k, k, LANE), dtype),        # W = L^{-1}
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(sigma2, G3, b_t, rnorm, d_obs)
     return out

@@ -148,20 +148,26 @@ def _use_kernel(k: int, block_size: int, dtype, axis_model) -> bool:
     return kernels.supported(k, block_size, dtype)
 
 
-def _kernel_block(C, CC, mean, sigma, data, mask_f):
-    """One block through the fused kernel, in the transposed (lane-major)
-    layout: big contractions on the MXU, factorization+solves in Pallas.
-    Returns (s_t (k,B), SM3 (k,k,B), llk (B,), sq (B,), R (B,D), d_obs (B,))."""
-    from . import kernels
-
+def _kernel_prep(C, CC, mean, sigma, data, mask_f):
+    """Shared MXU-side prep for the fused kernel, in the transposed
+    (lane-major) layout: ``b_t[k, B] = C^T R^T`` and
+    ``G3[(k,k), B] = CC^T mask^T`` with the transposes fused into the
+    dot_generals."""
     k = C.shape[1]
     R = mask_f * (data - mean)
-    # b_t[k, B] = C^T R^T and G_t[(k,k), B] = CC^T mask^T — contracted over D
-    # with the transpose fused into the dot_general.
     b_t = lax.dot_general(C, R, (((0,), (1,)), ((), ())))
     G3 = lax.dot_general(CC, mask_f, (((0,), (1,)), ((), ()))).reshape(k, k, -1)
     rnorm = jnp.sum(R * R, axis=-1)[None, :]
     d_obs = jnp.sum(mask_f, axis=-1)
+    return R, b_t, G3, rnorm, d_obs
+
+
+def _kernel_block(C, CC, mean, sigma, data, mask_f):
+    """One block through the full fused kernel.
+    Returns (s_t (k,B), SM3 (k,k,B), llk (B,), sq (B,), R (B,D), d_obs (B,))."""
+    from . import kernels
+
+    R, b_t, G3, rnorm, d_obs = _kernel_prep(C, CC, mean, sigma, data, mask_f)
     s_t, SM3, llk, sq = kernels.spd_estep(sigma, G3, b_t, rnorm, d_obs[None, :])
     return s_t, SM3, llk[0], sq[0], R, d_obs
 
@@ -207,8 +213,11 @@ def llks(
         datab, maskb = xs
         mf = maskb.astype(data.dtype)
         if use_kernel:
-            _, _, llk, _, _, _ = _kernel_block(C, CC, mean, sigma, datab, mf)
-            return None, llk
+            from . import kernels
+
+            _, b_t, G3, rnorm, d_obs = _kernel_prep(C, CC, mean, sigma, datab, mf)
+            (llk,) = kernels.spd_estep(sigma, G3, b_t, rnorm, d_obs[None, :], want="llk")
+            return None, llk[0]
         post = block_posterior(C, CC, mean, sigma, datab, mf, axis_model)
         return None, block_llk(post, sigma, k, axis_model)
 
@@ -249,6 +258,42 @@ def infer(
     k = C.shape[1]
     n_padded = states.shape[0] * states.shape[1]
     return states.reshape(n_padded, k)[:n], covs.reshape(n_padded, k, k)[:n]
+
+
+def states(
+    C: jax.Array,
+    mean: jax.Array,
+    sigma: jax.Array,
+    data: jax.Array,
+    mask: jax.Array,
+    *,
+    block_size: int,
+    axis_model: Optional[str] = None,
+) -> jax.Array:
+    """Posterior state means only, (N, k) — the cheap path behind
+    smooth/extrapolate (`ppca_model.rs:231-261`), which need no posterior
+    covariances."""
+    n = data.shape[0]
+    k = C.shape[1]
+    CC = outer_flat(C)
+    use_kernel = _use_kernel(k, block_size, data.dtype, axis_model)
+    _, (data3, mask3) = _pad_blocks(n, block_size, data, mask)
+
+    def body(_, xs):
+        datab, maskb = xs
+        mf = maskb.astype(data.dtype)
+        if use_kernel:
+            from . import kernels
+
+            _, b_t, G3, rnorm, d_obs = _kernel_prep(C, CC, mean, sigma, datab, mf)
+            s_t, _ = kernels.spd_estep(sigma, G3, b_t, rnorm, d_obs[None, :], want="states")
+            return None, s_t.T
+        post = block_posterior(C, CC, mean, sigma, datab, mf, axis_model)
+        return None, post.states
+
+    _, out = lax.scan(body, None, (data3, mask3))
+    n_padded = out.shape[0] * out.shape[1]
+    return out.reshape(n_padded, k)[:n]
 
 
 class EMStats(NamedTuple):

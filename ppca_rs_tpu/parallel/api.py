@@ -81,7 +81,7 @@ def fns_for(mesh, use_model_axis: bool):
     @functools.partial(jax.jit, static_argnames=("block_size",))
     def smooth(C, mean, sigma, data, mask, block_size):
         def inner(C, mean, sigma, data, mask):
-            states, _ = ml.infer(
+            states = ml.states(
                 C, mean, sigma, data, mask,
                 block_size=block_size, axis_model=axis_model,
             )
@@ -93,7 +93,7 @@ def fns_for(mesh, use_model_axis: bool):
     @functools.partial(jax.jit, static_argnames=("block_size",))
     def extrapolate(C, mean, sigma, data, mask, block_size):
         def inner(C, mean, sigma, data, mask):
-            states, _ = ml.infer(
+            states = ml.states(
                 C, mean, sigma, data, mask,
                 block_size=block_size, axis_model=axis_model,
             )

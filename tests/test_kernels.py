@@ -69,6 +69,35 @@ def test_kernel_empty_sample_neutral(rng):
         assert abs(got["sq"][r]) < 1e-6
 
 
+@pytest.mark.parametrize("k", [4, 16])
+def test_kernel_light_variants(rng, k):
+    """The 'llk' and 'states' variants agree with the full kernel."""
+    C = jnp.asarray(rng.normal(size=(20, k)), jnp.float32)
+    mean = jnp.asarray(rng.normal(size=20), jnp.float32)
+    sig = jnp.float32(0.6)
+    data = jnp.asarray(rng.normal(size=(128, 20)), jnp.float32)
+    mask = jnp.asarray(rng.random((128, 20)) > 0.4)
+    mask = mask.at[7].set(False)
+    data = jnp.where(mask, data, 0.0)
+    mf = mask.astype(jnp.float32)
+
+    CC = ml.outer_flat(C)
+    post = ml.block_posterior(C, CC, mean, sig, data, mf)
+    G3 = jnp.transpose(post.G_local.reshape(128, k, k), (1, 2, 0))
+    b_t = post.b.T
+    rnorm = jnp.sum(post.R * post.R, axis=-1)[None, :]
+    dob = jnp.sum(mf, axis=-1)[None, :]
+
+    s_full, _, llk_full, _ = kernels.spd_estep(sig, G3, b_t, rnorm, dob, interpret=True)
+    (llk_only,) = kernels.spd_estep(sig, G3, b_t, rnorm, dob, want="llk", interpret=True)
+    s_states, llk_states = kernels.spd_estep(
+        sig, G3, b_t, rnorm, dob, want="states", interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(llk_only), np.asarray(llk_full), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(llk_states), np.asarray(llk_full), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s_states), np.asarray(s_full), rtol=1e-4, atol=1e-5)
+
+
 def test_kernel_batch_alignment():
     with pytest.raises(ValueError):
         kernels.spd_estep(
