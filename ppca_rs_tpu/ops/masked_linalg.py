@@ -355,8 +355,10 @@ def em_stats(
             totals = w @ mask_f
             llk = jnp.sum(w * llk_b)
             n_obs = jnp.sum(w * dob)
-            new = EMStats(cross, S, square_error, dev_sq, total_dev, totals, llk, n_obs)
-            return jax.tree.map(jnp.add, acc, new), None
+            return (
+                (acc[0] + cross, acc[1] + S),
+                (square_error, dev_sq, total_dev, totals, llk, n_obs),
+            )
         post = block_posterior(C, CC, mean, sigma, datab, mask_f, axis_model)
         Sigma = block_covariances(post, sigma)
         s = post.states
@@ -377,21 +379,22 @@ def em_stats(
         llk = jnp.sum(w * block_llk(post, sigma, k, axis_model))
         n_obs = jnp.sum(w * post.d_obs)
 
-        new = EMStats(cross, S, square_error, dev_sq, total_dev, totals, llk, n_obs)
-        return jax.tree.map(jnp.add, acc, new), None
+        return (
+            (acc[0] + cross, acc[1] + S),
+            (square_error, dev_sq, total_dev, totals, llk, n_obs),
+        )
 
-    zero = EMStats(
-        cross=jnp.zeros_like(C),
-        S=jnp.zeros((C.shape[0], k * k), dtype),
-        square_error=jnp.zeros((), dtype),
-        dev_sq=jnp.zeros((), dtype),
-        total_dev=jnp.zeros((C.shape[0],), dtype),
-        totals=jnp.zeros((C.shape[0],), dtype),
-        llk=jnp.zeros((), dtype),
-        n_obs=jnp.zeros((), dtype),
+    # The large per-D accumulators are carried through the scan (sequential
+    # adds — their relative f32 error stays small because each entry sums few
+    # terms); the scalar and (D,)-vector statistics are stacked per block and
+    # tree-reduced by jnp.sum, keeping the dataset llk accurate at 10M+
+    # samples in f32.
+    zero = (jnp.zeros_like(C), jnp.zeros((C.shape[0], k * k), dtype))
+    (cross, S), small = lax.scan(body, zero, (data3, mask3, w2))
+    square_error, dev_sq, total_dev, totals, llk, n_obs = (
+        jnp.sum(x, axis=0) for x in small
     )
-    stats, _ = lax.scan(body, zero, (data3, mask3, w2))
-    return stats
+    return EMStats(cross, S, square_error, dev_sq, total_dev, totals, llk, n_obs)
 
 
 def em_finalize(
