@@ -31,9 +31,10 @@ class Dataset:
     """A dense masked dataset: values (zero-filled where masked), an
     observed-mask and per-sample weights, all device arrays."""
 
-    __slots__ = ("data", "mask", "weights", "_n_real")
+    __slots__ = ("data", "mask", "weights", "_n_real", "_all_observed")
 
     def __init__(self, ndarray=None, weights=None, *, _parts=None):
+        self._all_observed = None
         if _parts is not None:
             self.data, self.mask, self.weights = _parts[:3]
             self._n_real = _parts[3] if len(_parts) > 3 else None
@@ -90,7 +91,9 @@ class Dataset:
                 raise ValueError("weights length must match number of samples")
             w = jnp.pad(w, (0, self.padded_len - len(self)))
             w = jax.device_put(w, self.weights.sharding)
-        return Dataset.from_parts(self.data, self.mask, w, n_real=self._n_real)
+        new = Dataset.from_parts(self.data, self.mask, w, n_real=self._n_real)
+        new._all_observed = self._all_observed  # same mask, same observedness
+        return new
 
     # ------------------------------------------------------------------ #
     # basic accessors
@@ -118,6 +121,20 @@ class Dataset:
         if self.is_empty():
             return None
         return int(self.data.shape[1])
+
+    def all_observed(self) -> bool:
+        """True when every (real) entry is observed — unlocks the dense
+        fully-observed fast path (ops/dense_fast.py).  Counted over the
+        padded mask so sharded arrays need no gather: padding rows are
+        all-masked, so the count matches exactly iff all real entries are
+        observed.  Cached after the first call."""
+        if self._all_observed is None:
+            if self.is_empty():
+                self._all_observed = True
+            else:
+                observed = int(jnp.sum(self.mask))
+                self._all_observed = observed == len(self) * int(self.data.shape[1])
+        return self._all_observed
 
     def empty_dimensions(self) -> List[int]:
         """Dimensions masked in *every* sample (`dataset.rs:193-222`)."""
@@ -168,6 +185,7 @@ class Dataset:
         other = Dataset.load(state)
         self.data, self.mask, self.weights = other.data, other.mask, other.weights
         self._n_real = None
+        self._all_observed = None
 
     def __reduce__(self):
         return (Dataset.load, (self.dump(),))
@@ -177,9 +195,12 @@ class Dataset:
 
     def slice(self, start: int, stop: int) -> "Dataset":
         stop = min(stop, len(self))
-        return Dataset.from_parts(
+        new = Dataset.from_parts(
             self.data[start:stop], self.mask[start:stop], self.weights[start:stop]
         )
+        if self._all_observed:
+            new._all_observed = True
+        return new
 
     def chunks(self, chunks: int) -> "DatasetChunks":
         """Iterator over ``chunks`` contiguous pieces with stride

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..config import block_size_for, config
 from ..dataset import Dataset
+from ..ops import dense_fast as df
 from ..ops import masked_linalg as ml
 from ..prior import Prior
 from ..utils.rng import ensure_key
@@ -55,14 +56,15 @@ def _impl_and_block(dataset: Dataset):
     size appropriate for the per-device row count."""
     from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, dataset_mesh
 
+    dense = dataset.all_observed()
     mesh = dataset_mesh(dataset)
     if mesh is None:
-        return _SINGLE, block_size_for(dataset.padded_len)
+        return (_SINGLE_DENSE if dense else _SINGLE), block_size_for(dataset.padded_len)
     from ..parallel.api import fns_for
 
     n_data = mesh.shape[DATA_AXIS]
     use_model = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
-    fns = fns_for(mesh, use_model)
+    fns = fns_for(mesh, use_model, dense)
     return fns, block_size_for(max(1, dataset.padded_len // n_data))
 
 
@@ -193,6 +195,57 @@ _SINGLE = {
     "smooth": _smooth_jit,
     "extrapolate": _extrapolate_jit,
     "em_step": _em_step_jit,
+}
+
+
+# --- fully-observed fast path (ops/dense_fast.py): same signatures, the mask
+# argument is accepted and ignored (callers guarantee all entries observed).
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _llks_dense_jit(C, mean, sigma, data, mask, block_size):
+    return df.llks(C, mean, sigma, data)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _llk_dense_jit(C, mean, sigma, data, mask, weights, block_size):
+    return jnp.sum(df.llks(C, mean, sigma, data) * weights)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _infer_dense_jit(C, mean, sigma, data, mask, block_size):
+    return df.infer(C, mean, sigma, data)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _smooth_dense_jit(C, mean, sigma, data, mask, block_size):
+    return df.states(C, mean, sigma, data) @ C.T + mean
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _extrapolate_dense_jit(C, mean, sigma, data, mask, block_size):
+    # fully observed: extrapolation keeps every (observed) value
+    return data
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _em_step_dense_jit(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, block_size):
+    stats = df.em_stats(C, mean, sigma, data, weights, block_size=block_size)
+    new_C, new_mean, new_sigma = df.em_finalize(
+        C, mean, sigma, stats,
+        transformation_precision=tprec,
+        noise_prior=noise_prior,
+        mean_prior=mean_prior,
+    )
+    return new_C, new_mean, new_sigma, stats.llk
+
+
+_SINGLE_DENSE = {
+    "llks": _llks_dense_jit,
+    "llk": _llk_dense_jit,
+    "infer": _infer_dense_jit,
+    "smooth": _smooth_dense_jit,
+    "extrapolate": _extrapolate_dense_jit,
+    "em_step": _em_step_dense_jit,
 }
 
 

@@ -1,0 +1,209 @@
+"""Fully-observed fast path.
+
+When a dataset has no missing entries, every sample shares the same posterior
+precision ``M = sigma^2 I + C^T C`` — so the per-sample factorizations that
+dominate the masked E-step collapse to ONE k x k solve, and the whole EM
+iteration reduces to a few large MXU matmuls:
+
+    b      = (Y - mu) C                    (N,D)x(D,k)
+    s      = b M^{-1}                      posterior states
+    cross  = (w * R)^T s                   (D,N)x(N,k)
+    S      = s^T diag(w) s + (sum w) sigma^2 M^{-1}     ONE (k,k) matrix —
+             every output row d shares it, so the M-step's D row solves
+             (`ppca_model.rs:294-325`) become one solve with D right-hand
+             sides
+    dev    = R - s C^T                     residuals for the noise/mean update
+
+That is ~6 D k flops per sample instead of the masked path's ~4 D k^2 — about
+k/10 x fewer (40x at k=64), putting fully-observed EM at MXU matmul speed.
+Semantically identical to the masked path with an all-True mask (tested), and
+therefore to the reference which always walks the per-sample masked route.
+
+Neutral padding rows (all-masked, zero-weight) are handled by *weights*
+alone here: the mask is ignored, padded rows produce garbage per-sample
+values that are weighted by 0 in every reduction and sliced off per-sample
+outputs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .masked_linalg import LN_2PI, _pad_blocks, _psum
+
+
+class DensePosterior(NamedTuple):
+    M: jax.Array        # (k, k) shared posterior precision
+    Minv: jax.Array     # (k, k)
+    logdet: jax.Array   # scalar log det M
+    Sigma: jax.Array    # (k, k) = sigma^2 M^{-1}
+
+
+def dense_posterior(C: jax.Array, sigma: jax.Array, axis_model: Optional[str] = None) -> DensePosterior:
+    """The one shared k x k solve (model-axis rows psum into the full Gram)."""
+    k = C.shape[1]
+    dtype = C.dtype
+    sigma2 = sigma * sigma
+    G = _psum(C.T @ C, axis_model)
+    M = G + sigma2 * jnp.eye(k, dtype=dtype)
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.eye(k, dtype=dtype)
+    Minv = jax.scipy.linalg.cho_solve((L, True), eye)
+    if k > 0:
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    else:
+        logdet = jnp.zeros((), dtype)
+    return DensePosterior(M=M, Minv=Minv, logdet=logdet, Sigma=sigma2 * Minv)
+
+
+def _centered_products(C, mean, data, axis_model):
+    """b = (Y - mu) C and rowwise |Y - mu|^2, computed without materializing
+    the centered (N, D) array (the subtraction folds into the matmuls)."""
+    b = _psum(data @ C - (mean @ C)[None, :], axis_model)
+    rnorm = _psum(
+        jnp.sum(data * data, axis=-1) - 2.0 * (data @ mean) + jnp.sum(mean * mean),
+        axis_model,
+    )
+    return b, rnorm
+
+
+def llks(C, mean, sigma, data, *, axis_model: Optional[str] = None) -> jax.Array:
+    """Per-sample log-likelihood, fully observed: one shared log-det and a
+    quadratic form through the shared M^{-1}."""
+    k = C.shape[1]
+    post = dense_posterior(C, sigma, axis_model)
+    b, rnorm = _centered_products(C, mean, data, axis_model)
+    quad = (rnorm - jnp.sum((b @ post.Minv) * b, axis=-1)) / (sigma * sigma)
+    d_obs = _psum(jnp.asarray(data.shape[1], data.dtype), axis_model)
+    logdet = post.logdet + 2.0 * jnp.log(sigma) * (d_obs - k)
+    return -0.5 * (quad + logdet + LN_2PI * d_obs)
+
+
+def states(C, mean, sigma, data, *, axis_model: Optional[str] = None) -> jax.Array:
+    post = dense_posterior(C, sigma, axis_model)
+    b, _ = _centered_products(C, mean, data, axis_model)
+    return b @ post.Minv
+
+
+def infer(C, mean, sigma, data, *, axis_model: Optional[str] = None):
+    post = dense_posterior(C, sigma, axis_model)
+    b, _ = _centered_products(C, mean, data, axis_model)
+    s = b @ post.Minv
+    covs = jnp.broadcast_to(post.Sigma, (data.shape[0],) + post.Sigma.shape)
+    return s, covs
+
+
+class DenseEMStats(NamedTuple):
+    """Dense-path sufficient statistics.  ``S_common`` is the single (k, k)
+    second-moment matrix shared by every output row; ``totals`` collapses to
+    the scalar weight sum.  Sharding discipline matches
+    masked_linalg.EMStats: cross/total_dev are D-local; dev_sq needs the
+    model psum; llk/S_common/square_error/w_sum are model-replicated."""
+
+    cross: jax.Array         # (D_loc, k)
+    S_common: jax.Array      # (k, k)
+    square_error: jax.Array  # scalar
+    dev_sq: jax.Array        # scalar (model-LOCAL)
+    total_dev: jax.Array     # (D_loc,)
+    w_sum: jax.Array         # scalar (model-replicated)
+    llk: jax.Array           # scalar (model-replicated)
+
+
+def em_stats(C, mean, sigma, data, weights, *, block_size: int,
+             axis_model: Optional[str] = None) -> DenseEMStats:
+    """Fused dense EM statistics, blocked over N for bounded temporaries."""
+    n, D_loc = data.shape
+    k = C.shape[1]
+    dtype = data.dtype
+    sigma2 = sigma * sigma
+    post = dense_posterior(C, sigma, axis_model)
+    d_obs = _psum(jnp.asarray(D_loc, dtype), axis_model)
+    logdet_obs = post.logdet + 2.0 * jnp.log(sigma) * (d_obs - k)
+    _, (data3, w2) = _pad_blocks(n, block_size, data, weights)
+
+    def body(acc, xs):
+        datab, w = xs
+        R = datab - mean
+        b = _psum(R @ C, axis_model)
+        s = b @ post.Minv
+        sw = s * w[:, None]
+        cross = R.T @ sw
+        S_part = s.T @ sw                               # (k, k)
+        dev = R - s @ C.T
+        dev_sq = jnp.sum(w * jnp.sum(dev * dev, axis=-1))
+        total_dev = w @ dev
+        w_sum = jnp.sum(w)
+        rnorm = _psum(jnp.sum(R * R, axis=-1), axis_model)
+        quad = (rnorm - jnp.sum(b * s, axis=-1)) / sigma2
+        llk_b = -0.5 * (quad + logdet_obs + LN_2PI * d_obs)
+        llk = jnp.sum(w * llk_b)
+        return (acc[0] + cross, acc[1] + S_part), (dev_sq, total_dev, w_sum, llk)
+
+    zero = (jnp.zeros((D_loc, k), dtype), jnp.zeros((k, k), dtype))
+    (cross, S_part), small = lax.scan(body, zero, (data3, w2))
+    dev_sq, total_dev, w_sum, llk = (jnp.sum(x, axis=0) for x in small)
+
+    G = post.M - sigma2 * jnp.eye(k, dtype=dtype)
+    S_common = S_part + w_sum * post.Sigma
+    square_error = w_sum * jnp.sum(G * post.Sigma)
+    return DenseEMStats(
+        cross=cross,
+        S_common=S_common,
+        square_error=square_error,
+        dev_sq=dev_sq,
+        total_dev=total_dev,
+        w_sum=w_sum,
+        llk=llk,
+    )
+
+
+def em_finalize(C, mean, sigma, stats: DenseEMStats, *,
+                transformation_precision,
+                noise_prior=None, mean_prior=None,
+                axis_model: Optional[str] = None):
+    """Dense M-step: ONE (k, k) solve with D right-hand sides replaces the D
+    per-row solves; mean/noise updates use the scalar observation count."""
+    D_loc, k = C.shape
+    dtype = C.dtype
+
+    if k > 0:
+        A = stats.S_common + transformation_precision * jnp.eye(k, dtype=dtype)
+        sol = jnp.linalg.solve(A, stats.cross.T).T        # (D_loc, k)
+        ok = jnp.all(jnp.isfinite(sol))
+        new_C = jnp.where(ok, sol, C)
+    else:
+        new_C = C
+
+    d_obs = _psum(jnp.asarray(D_loc, dtype), axis_model)
+    sq = stats.square_error + _psum(stats.dev_sq, axis_model)
+    n_obs = stats.w_sum * d_obs
+    if noise_prior is not None:
+        alpha, beta = noise_prior
+        sigma2_new = (sq / 2.0 + beta) / (n_obs / 2.0 + alpha + 1.0)
+    else:
+        sigma2_new = sq / n_obs
+
+    new_mean = stats.total_dev / stats.w_sum + mean
+    if mean_prior is not None:
+        prior_mean, prior_precision = mean_prior
+        if axis_model is not None:
+            mean_full = lax.all_gather(new_mean, axis_model, tiled=True)
+        else:
+            mean_full = new_mean
+        data_precision = stats.w_sum / sigma2_new
+        total_precision = prior_precision + data_precision * jnp.eye(
+            prior_precision.shape[0], dtype=dtype
+        )
+        numerator = prior_precision @ prior_mean + data_precision * mean_full
+        smoothed = jnp.linalg.solve(total_precision, numerator)
+        if axis_model is not None:
+            idx = lax.axis_index(axis_model)
+            new_mean = lax.dynamic_slice_in_dim(smoothed, idx * D_loc, D_loc)
+        else:
+            new_mean = smoothed
+
+    return new_C, new_mean, jnp.sqrt(sigma2_new)

@@ -29,8 +29,12 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 
 
 @functools.lru_cache(maxsize=None)
-def fns_for(mesh, use_model_axis: bool):
-    """Build (and cache) the sharded verb implementations for a mesh."""
+def fns_for(mesh, use_model_axis: bool, dense: bool = False):
+    """Build (and cache) the sharded verb implementations for a mesh.
+    ``dense=True`` swaps in the fully-observed fast path
+    (ops/dense_fast.py) under the same shard_map layout."""
+    from ..ops import dense_fast as df
+
     axis_model = MODEL_AXIS if use_model_axis else None
     col = MODEL_AXIS if use_model_axis else None
     rows = P(DATA_AXIS, col)        # data, mask
@@ -47,6 +51,8 @@ def fns_for(mesh, use_model_axis: bool):
     @functools.partial(jax.jit, static_argnames=("block_size",))
     def llks(C, mean, sigma, data, mask, block_size):
         def inner(C, mean, sigma, data, mask):
+            if dense:
+                return df.llks(C, mean, sigma, data, axis_model=axis_model)
             return ml.llks(
                 C, mean, sigma, data, mask,
                 block_size=block_size, axis_model=axis_model,
@@ -58,10 +64,13 @@ def fns_for(mesh, use_model_axis: bool):
     @functools.partial(jax.jit, static_argnames=("block_size",))
     def llk(C, mean, sigma, data, mask, weights, block_size):
         def inner(C, mean, sigma, data, mask, weights):
-            per = ml.llks(
-                C, mean, sigma, data, mask,
-                block_size=block_size, axis_model=axis_model,
-            )
+            if dense:
+                per = df.llks(C, mean, sigma, data, axis_model=axis_model)
+            else:
+                per = ml.llks(
+                    C, mean, sigma, data, mask,
+                    block_size=block_size, axis_model=axis_model,
+                )
             return lax.psum(jnp.sum(per * weights), DATA_AXIS)
         return smap(
             inner, (cspec, mspec, rep, rows, rows, wspec), rep
@@ -70,6 +79,8 @@ def fns_for(mesh, use_model_axis: bool):
     @functools.partial(jax.jit, static_argnames=("block_size",))
     def infer(C, mean, sigma, data, mask, block_size):
         def inner(C, mean, sigma, data, mask):
+            if dense:
+                return df.infer(C, mean, sigma, data, axis_model=axis_model)
             return ml.infer(
                 C, mean, sigma, data, mask,
                 block_size=block_size, axis_model=axis_model,
@@ -81,10 +92,13 @@ def fns_for(mesh, use_model_axis: bool):
     @functools.partial(jax.jit, static_argnames=("block_size",))
     def smooth(C, mean, sigma, data, mask, block_size):
         def inner(C, mean, sigma, data, mask):
-            states = ml.states(
-                C, mean, sigma, data, mask,
-                block_size=block_size, axis_model=axis_model,
-            )
+            if dense:
+                states = df.states(C, mean, sigma, data, axis_model=axis_model)
+            else:
+                states = ml.states(
+                    C, mean, sigma, data, mask,
+                    block_size=block_size, axis_model=axis_model,
+                )
             return states @ C.T + mean
         return smap(
             inner, (cspec, mspec, rep, rows, rows), rows
@@ -93,6 +107,8 @@ def fns_for(mesh, use_model_axis: bool):
     @functools.partial(jax.jit, static_argnames=("block_size",))
     def extrapolate(C, mean, sigma, data, mask, block_size):
         def inner(C, mean, sigma, data, mask):
+            if dense:
+                return data  # fully observed: nothing to fill
             states = ml.states(
                 C, mean, sigma, data, mask,
                 block_size=block_size, axis_model=axis_model,
@@ -106,6 +122,20 @@ def fns_for(mesh, use_model_axis: bool):
     @functools.partial(jax.jit, static_argnames=("block_size",))
     def em_step(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, block_size):
         def inner(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior):
+            if dense:
+                dstats = df.em_stats(
+                    C, mean, sigma, data, weights,
+                    block_size=block_size, axis_model=axis_model,
+                )
+                dstats = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), dstats)
+                new_C, new_mean, new_sigma = df.em_finalize(
+                    C, mean, sigma, dstats,
+                    transformation_precision=tprec,
+                    noise_prior=noise_prior,
+                    mean_prior=mean_prior,
+                    axis_model=axis_model,
+                )
+                return new_C, new_mean, new_sigma, dstats.llk
             stats = ml.em_stats(
                 C, mean, sigma, data, mask, weights,
                 block_size=block_size, axis_model=axis_model,
