@@ -48,6 +48,23 @@ Metric = Literal["aic", "bic", "llk"]
 MetricsCallback = Callable[[int, TrainMetrics], None]
 
 
+def _maybe_checkpoint(model, iteration: int, n_iters: int, path: Optional[str], every: int) -> None:
+    """Atomic dump of the in-progress model (resume with
+    ``train(start=Model.load(open(path, 'rb').read()), ...)``).  The
+    reference's only recovery primitive is re-loading a dumped model
+    (SURVEY.md §5); this automates the dumping for long trainings."""
+    if path is None:
+        return
+    if iteration % max(every, 1) != 0 and iteration != n_iters:
+        return
+    import os
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(model.dump())
+    os.replace(tmp, path)
+
+
 @dataclass
 class PPCATrainer:
     """A trainer for a PPCA model over masked data
@@ -67,6 +84,8 @@ class PPCATrainer:
         callback: Optional[MetricsCallback] = None,
         key=None,
         profile_dir: Optional[str] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 10,
     ) -> PPCAModel:
         model = start if start is not None else PPCAModel.init(state_size, self.dataset, key=key)
         n = len(self.dataset)
@@ -85,6 +104,7 @@ class PPCATrainer:
                             f"{metric}={getattr(metrics, metric)}"
                         )
                 model = new_model
+                _maybe_checkpoint(model, idx + 1, n_iters, checkpoint_path, checkpoint_every)
 
         return model.to_canonical()
 
@@ -109,6 +129,8 @@ class PPCAMixTrainer:
         callback: Optional[MetricsCallback] = None,
         key=None,
         profile_dir: Optional[str] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 10,
     ) -> PPCAMix:
         model = (
             start
@@ -136,5 +158,6 @@ class PPCAMixTrainer:
                             f"{metric}={getattr(metrics, metric)}"
                         )
                 model = new_model
+                _maybe_checkpoint(model, idx + 1, n_iters, checkpoint_path, checkpoint_every)
 
         return model.to_canonical()

@@ -51,6 +51,22 @@ def test_trainer_warm_start_and_prior():
     assert np.isfinite(m1.llk(data))
 
 
+def test_trainer_checkpointing(tmp_path):
+    real = ground_truth()
+    data = real.sample(60, 0.2)
+    path = str(tmp_path / "ckpt.ppca")
+    PPCATrainer(data).train(
+        state_size=2, n_iters=5, quiet=True,
+        checkpoint_path=path, checkpoint_every=2,
+    )
+    with open(path, "rb") as fh:
+        restored = PPCAModel.load(fh.read())
+    assert restored.state_size == 2
+    # resumable as a warm start
+    m2 = PPCATrainer(data).train(start=restored, state_size=2, n_iters=1, quiet=True)
+    assert np.isfinite(m2.llk(data))
+
+
 def test_metrics_formulas():
     m = TrainMetrics.compute(llk_total=-100.0, n_parameters=10, n_samples=50)
     assert np.isclose(m.llk, -2.0)
