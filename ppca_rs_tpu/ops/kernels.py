@@ -34,7 +34,9 @@ dynamic indexing only (no cross-lane shuffles, no sublane-dynamic writes).
 The G input streams from HBM with a manually double-buffered DMA (overlapped
 with the previous tile's compute); the SM output remains a pipelined block.
 
-A panel-blocked (rank-8 update) variant was tried and measured *slower*
+Columns are processed in rank-2 pairs (one read-modify-write pass over each
+big buffer per pair, ~8% end-to-end). A panel-blocked (rank-8) variant and a
+rank-4 variant were tried and measured *slower*
 (7.9 vs 4.9 ms per 8k block): the kernel is VPU-compute bound, not
 VMEM-bandwidth bound, and short serial (k, T) panel ops pipeline worse than
 the big rank-1 (k, k, T) updates.
@@ -115,47 +117,121 @@ def _make_kernel(want: str):
 
         # ---- the single fused column loop -------------------------------
         if want == "llk":
-            # carry: (logdet (T,), r residual (k,T), quad accumulator (T,))
-            def body(j, carry):
-                logdet, r, quad = carry
-                sel = (ii == j).astype(dtype)
-                colM = A_scr[cur, j] + sigma2 * sel
+            def chol_col(j, corrections):
+                colM = A_scr[cur, j] + sigma2 * (ii == j).astype(dtype)
+                for lc in corrections:
+                    coef = jnp.sum(jnp.where(ii == j, lc, 0.0), axis=0)
+                    colM = colM - lc * coef[None, :]
                 diag = jnp.sum(jnp.where(ii == j, colM, 0.0), axis=0)
                 inv_sqrt = lax.rsqrt(diag)
                 lcol = jnp.where(ii >= j, colM * inv_sqrt[None, :], 0.0)
-                A_scr[cur] = A_scr[cur] - lcol[:, None, :] * lcol[None, :, :]
-                # forward substitution step: y_j = r_j / L_jj
-                yj = jnp.sum(jnp.where(ii == j, r, 0.0), axis=0) * inv_sqrt
-                r = r - yj[None, :] * lcol
-                return (logdet + jnp.log(diag), r, quad + yj * yj)
+                return lcol, inv_sqrt, diag
+
+            if k % 2 == 0:
+                # rank-2: one A pass and one r pass per column pair
+                def body(p, carry):
+                    logdet, r, quad = carry
+                    j = p * 2
+                    l0, is0, d0 = chol_col(j, ())
+                    l1, is1, d1 = chol_col(j + 1, (l0,))
+                    A_scr[cur] = A_scr[cur] - (
+                        l0[:, None, :] * l0[None, :, :] + l1[:, None, :] * l1[None, :, :]
+                    )
+                    y0 = jnp.sum(jnp.where(ii == j, r, 0.0), axis=0) * is0
+                    r1 = jnp.sum(jnp.where(ii == j + 1, r, 0.0), axis=0)
+                    l0_at_1 = jnp.sum(jnp.where(ii == j + 1, l0, 0.0), axis=0)
+                    y1 = (r1 - y0 * l0_at_1) * is1
+                    r = r - y0[None, :] * l0 - y1[None, :] * l1
+                    return (logdet + jnp.log(d0) + jnp.log(d1),
+                            r, quad + y0 * y0 + y1 * y1)
+
+                n_steps = k // 2
+            else:
+                def body(j, carry):
+                    logdet, r, quad = carry
+                    lcol, inv_sqrt, diag = chol_col(j, ())
+                    A_scr[cur] = A_scr[cur] - lcol[:, None, :] * lcol[None, :, :]
+                    yj = jnp.sum(jnp.where(ii == j, r, 0.0), axis=0) * inv_sqrt
+                    r = r - yj[None, :] * lcol
+                    return (logdet + jnp.log(diag), r, quad + yj * yj)
+
+                n_steps = k
 
             logdet, _, quad_b = lax.fori_loop(
-                0, k, body, (jnp.zeros((T,), dtype), b, jnp.zeros((T,), dtype))
+                0, n_steps, body, (jnp.zeros((T,), dtype), b, jnp.zeros((T,), dtype))
             )
             quad = (rnorm - quad_b) / sigma2
             ld = logdet + jnp.log(sigma2) * (d_obs - k)
             llk_ref[...] = (-0.5 * (quad + ld + LN_2PI * d_obs))[None, :]
             return
 
-        def body(j, carry):
-            logdet, s = carry
-            sel_f = (ii == j).astype(dtype)
-            colM = A_scr[cur, j] + sigma2 * sel_f
+        def col_step(j, corrections):
+            """One Cholesky column with in-pair corrections applied lazily
+            (the trailing buffer updates happen once per pair)."""
+            colM = A_scr[cur, j] + sigma2 * (ii == j).astype(dtype)
+            for lc in corrections:
+                coef = jnp.sum(jnp.where(ii == j, lc, 0.0), axis=0)
+                colM = colM - lc * coef[None, :]
             diag = jnp.sum(jnp.where(ii == j, colM, 0.0), axis=0)
             inv_sqrt = lax.rsqrt(diag)
             lcol = jnp.where(ii >= j, colM * inv_sqrt[None, :], 0.0)
-            A_scr[cur] = A_scr[cur] - lcol[:, None, :] * lcol[None, :, :]
-            # row j of W = L^{-1}: Res[j] / L_jj, then rank-1 residual update
-            wrow = Res_scr[j] * inv_sqrt[None, :]
-            Res_scr[...] = Res_scr[...] - lcol[:, None, :] * wrow[None, :, :]
-            # s = M^{-1} b = sum_j wrow_j (wrow_j . b)
-            s = s + wrow * jnp.sum(wrow * b, axis=0)[None, :]
-            if SM_ref is not None:
-                SM_ref[...] = SM_ref[...] + wrow[:, None, :] * wrow[None, :, :]
-            return (logdet + jnp.log(diag), s)
+            return lcol, inv_sqrt, diag
+
+        def w_step(j, inv_sqrt, pairs):
+            """Row j of W = L^{-1} with in-pair corrections."""
+            wrow = Res_scr[j]
+            for lc, wr in pairs:
+                coef = jnp.sum(jnp.where(ii == j, lc, 0.0), axis=0)
+                wrow = wrow - wr * coef[None, :]
+            return wrow * inv_sqrt[None, :]
+
+        rank = next((r for r in (2,) if k % r == 0), 1)  # rank-4 measured slower: in-group serial corrections outweigh the traffic savings
+        if rank > 1:
+            # rank-r steps: r columns per iteration, ONE read-modify-write
+            # pass over each big buffer per group (1/r the VMEM traffic;
+            # in-group corrections are cheap (k, T) masked reductions).
+            def body(p, carry):
+                logdet, s = carry
+                j0 = p * rank
+                ls, ws = [], []
+                for t in range(rank):
+                    lt, ist, dt = col_step(j0 + t, tuple(ls))
+                    wt = w_step(j0 + t, ist, tuple(zip(ls, ws)))
+                    ls.append(lt)
+                    ws.append(wt)
+                    logdet = logdet + jnp.log(dt)
+                A_scr[cur] = A_scr[cur] - sum(
+                    lt[:, None, :] * lt[None, :, :] for lt in ls
+                )
+                Res_scr[...] = Res_scr[...] - sum(
+                    lt[:, None, :] * wt[None, :, :] for lt, wt in zip(ls, ws)
+                )
+                for wt in ws:
+                    s = s + wt * jnp.sum(wt * b, axis=0)[None, :]
+                if SM_ref is not None:
+                    SM_ref[...] = SM_ref[...] + sum(
+                        wt[:, None, :] * wt[None, :, :] for wt in ws
+                    )
+                return (logdet, s)
+
+            n_steps = k // rank
+        else:
+            def body(j, carry):
+                logdet, s = carry
+                lcol, inv_sqrt, diag = col_step(j, ())
+                A_scr[cur] = A_scr[cur] - lcol[:, None, :] * lcol[None, :, :]
+                wrow = w_step(j, inv_sqrt, ())
+                Res_scr[...] = Res_scr[...] - lcol[:, None, :] * wrow[None, :, :]
+                # s = M^{-1} b = sum_j wrow_j (wrow_j . b)
+                s = s + wrow * jnp.sum(wrow * b, axis=0)[None, :]
+                if SM_ref is not None:
+                    SM_ref[...] = SM_ref[...] + wrow[:, None, :] * wrow[None, :, :]
+                return (logdet + jnp.log(diag), s)
+
+            n_steps = k
 
         logdet, s = lax.fori_loop(
-            0, k, body, (jnp.zeros((T,), dtype), jnp.zeros((k, T), dtype))
+            0, n_steps, body, (jnp.zeros((T,), dtype), jnp.zeros((k, T), dtype))
         )
 
         s_ref[...] = s
