@@ -14,7 +14,6 @@ also naturally supports heterogeneous state sizes.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional
 
 import jax

@@ -92,7 +92,6 @@ def _make_kernel(want: str):
                 G_hbm.at[:, :, pl.ds(tile * T, T)], A_scr.at[slot], in_sems.at[slot]
             )
 
-        #
 
         @pl.when(i == 0)
         def _():

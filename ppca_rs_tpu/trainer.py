@@ -139,14 +139,12 @@ class PPCAMixTrainer:
         )
         n = len(self.dataset)
 
-        from .prior import Prior as _Prior
-
         with trace(profile_dir):
             for idx in range(n_iters):
                 # Fused: the responsibilities pass of the mixture EM already
                 # yields the dataset llk of the current model.
                 new_model, llk = model._iterate_with_llk(
-                    self.dataset, prior if prior is not None else _Prior()
+                    self.dataset, prior if prior is not None else Prior()
                 )
                 if not quiet or callback is not None:
                     metrics = TrainMetrics.compute(llk, model.n_parameters, n)
