@@ -27,8 +27,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def numpy_em_throughput(D, k, n=2048, block=512, reps=3):
-    """Single-core NumPy twin of the fused EM pass; returns samples/sec."""
+def numpy_em_throughput(D, k, n=2048, block=512, reps=5):
+    """Single-core NumPy twin of the fused EM pass; returns samples/sec
+    (best of ``reps`` — the host CPU is shared and noisy, so the fastest
+    repetition is the least-contended estimate of its capability)."""
     rng = np.random.default_rng(0)
     C = rng.normal(size=(D, k)).astype(np.float32)
     mean = np.zeros(D, dtype=np.float32)
