@@ -14,17 +14,39 @@ also naturally supports heterogeneous state sizes.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import block_size_for
 from ..dataset import Dataset
+from ..ops import mix_fused as mf
 from ..prior import Prior
 from ..utils.rng import ensure_key
 from ..utils.serialization import dump_bytes, load_bytes
 from .ppca import InferredMasked, PosteriorSampler, PPCAModel, _precision
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _mix_em_jit(Cs, means, sigmas, log_weights, data, mask, weights,
+                tprec, noise_prior, mean_prior, block_size):
+    """Fused mixture EM step (ops/mix_fused.py): one pass over the data for
+    all components' responsibilities + statistics, vs the reference's 2M
+    passes (`mix.rs:281-337`)."""
+    stats = mf.mix_em_stats(
+        Cs, means, sigmas, log_weights, data, mask, weights,
+        block_size=block_size,
+    )
+    new_Cs, new_means, new_sigmas, new_logw = mf.mix_em_finalize(
+        Cs, means, sigmas, stats,
+        transformation_precision=tprec,
+        noise_prior=noise_prior,
+        mean_prior=mean_prior,
+    )
+    return new_Cs, new_means, new_sigmas, new_logw, stats.llk
 
 
 @jax.jit
@@ -238,7 +260,16 @@ class PPCAMix:
     def _iterate_with_llk(self, dataset: Dataset, prior: Prior):
         """Fused mixture EM step returning (new mixture, llk of *this* mixture
         on the dataset) — the responsibilities pass already computes every
-        per-component llk, so the dataset llk is free."""
+        per-component llk, so the dataset llk is free.
+
+        Components with equal state sizes on an unsharded dataset take the
+        single-pass fused path (ops/mix_fused.py); otherwise the
+        reference-shaped per-component loop runs."""
+        from ..parallel.mesh import dataset_mesh
+
+        sizes = {m.state_size for m in self._models}
+        if len(sizes) == 1 and dataset_mesh(dataset) is None:
+            return self._iterate_fused(dataset, prior)
         per = self._component_llks(dataset)                      # (N, M)
         joint = per + self._log_weights[None, :]
         llk = float(jnp.sum(_logsumexp_jit(joint) * dataset.weights))
@@ -257,6 +288,37 @@ class PPCAMix:
             new_models.append(model.iterate_with_prior(reweighted, prior))
             new_log_weights.append(logsum)
         return PPCAMix(new_models, jnp.stack(new_log_weights)), llk
+
+    def _iterate_fused(self, dataset: Dataset, prior: Prior):
+        dtype = self._models[0]._transform.dtype
+        Cs = jnp.stack([m._transform for m in self._models])
+        means = jnp.stack([m._mean for m in self._models])
+        sigmas = jnp.stack([m._isotropic_noise for m in self._models])
+        tprec = jnp.asarray(prior.transformation_precision(), dtype=dtype)
+        noise_prior = None
+        if prior.has_isotropic_noise_prior():
+            noise_prior = (
+                jnp.asarray(prior.isotropic_noise_alpha(), dtype=dtype),
+                jnp.asarray(prior.isotropic_noise_beta(), dtype=dtype),
+            )
+        mean_prior = None
+        if prior.has_mean_prior():
+            mean_prior = (
+                jnp.asarray(prior.mean(), dtype=dtype),
+                jnp.asarray(prior.mean_precision(), dtype=dtype),
+            )
+        with _precision():
+            new_Cs, new_means, new_sigmas, new_logw, llk = _mix_em_jit(
+                Cs, means, sigmas, self._log_weights,
+                dataset.data, dataset.mask, dataset.weights,
+                tprec, noise_prior, mean_prior,
+                block_size_for(max(1, dataset.padded_len // max(1, len(self._models)))),
+            )
+        new_models = [
+            PPCAModel._from_params(new_Cs[m], new_means[m], new_sigmas[m])
+            for m in range(len(self._models))
+        ]
+        return PPCAMix(new_models, new_logw), float(llk)
 
     def to_canonical(self) -> "PPCAMix":
         """Map PPCAModel::to_canonical over components (`mix.rs:340-346`)."""

@@ -1,0 +1,216 @@
+"""Fused mixture EM — all components in ONE pass over the data.
+
+The reference's mixture EM (`ppca/src/mix.rs:281-337`) makes M llks passes
+(responsibilities) followed by M reweighted single-model EM passes — 2M scans
+of the dataset per iteration, and in our setting 2M separate device programs.
+When every component shares the same state size (the overwhelmingly common
+case, and all the reference examples), the whole iteration fuses into one
+blocked scan:
+
+* the per-sample masked Grams and projections for all M components are
+  batched einsums over a stacked ``Cs (M, D, k)``;
+* the Pallas SPD kernel is per-sample independent, so the M components'
+  blocks simply CONCATENATE along the lane axis — one kernel call factors
+  M x B posteriors at once;
+* component responsibilities come from the same per-sample llks inside the
+  block, so the M-step statistics are accumulated responsibility-weighted in
+  the same pass.
+
+Numerical note: the reference scales each component's weights to max 1
+before the inner EM (`mix.rs:310-323`).  Without priors the EM updates are
+invariant to that scale (every update is a ratio of weighted sums), but WITH
+priors the scale matters — the ridge / inverse-gamma / mean-prior strengths
+are relative to it.  The fused path therefore tracks the per-component
+maximum responsibility in the same pass and rescales the (weight-linear)
+statistics before finalization, reproducing the reference exactly.
+
+Heterogeneous state sizes fall back to the reference-shaped per-component
+loop in models/mix.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import masked_linalg as ml
+from .masked_linalg import LN_2PI, _pad_blocks, _psum
+
+
+class MixEMStats(NamedTuple):
+    """Per-component EM sufficient statistics (leading axis M), plus the
+    mixture llk and the new-log-weight numerators.  Sharding discipline
+    matches EMStats (see masked_linalg): D-indexed fields stay model-sharded,
+    ``square_error``/``dev_sq`` are model-local, the rest model-replicated."""
+
+    cross: jax.Array         # (M, D_loc, k)
+    S: jax.Array             # (M, D_loc, k*k)
+    square_error: jax.Array  # (M,)
+    dev_sq: jax.Array        # (M,)
+    total_dev: jax.Array     # (M, D_loc)
+    totals: jax.Array        # (M, D_loc)
+    resp_sum: jax.Array      # (M,)  sum_n w_n post_{n,m}  (new log-weight numerators)
+    resp_max: jax.Array      # (M,)  max_n w_n post_{n,m}  (the reference's per-
+                             #       component weight normalization, mix.rs:310-323:
+                             #       priors act relative to max-1-scaled weights)
+    llk: jax.Array           # scalar mixture llk of the current parameters
+    n_obs: jax.Array         # (M,)  sum_n w_n post_{n,m} |m_n|
+
+
+def _block_mix(Cs, CCs, means, sigmas, log_weights, datab, mask_f, w,
+               use_kernel: bool, axis_model: Optional[str]):
+    """One block: per-component posteriors + responsibilities + weighted
+    M-step contributions for every component."""
+    M, D_loc, k = Cs.shape
+    B = datab.shape[0]
+    dtype = datab.dtype
+
+    # Per-component masked centering / projections, batched over M.
+    R = mask_f[None, :, :] * (datab[None, :, :] - means[:, None, :])   # (M,B,D)
+    b = _psum(jnp.einsum("mbd,mdk->mbk", R, Cs), axis_model)           # (M,B,k)
+    G_flat_loc = jnp.einsum("bd,mdq->mbq", mask_f, CCs)                # (M,B,k^2)
+    rnorm = _psum(jnp.sum(R * R, axis=-1), axis_model)                 # (M,B)
+    d_obs = _psum(jnp.sum(mask_f, axis=-1), axis_model)                # (B,)
+
+    if use_kernel:
+        from . import kernels
+
+        # The kernel takes one scalar sigma, so components run through it
+        # sequentially — still inside this single scan body, so the data is
+        # read once per block regardless of M.
+        s_list, SM_list, llk_list, sq_list = [], [], [], []
+        for m in range(M):
+            G3m = _psum(G_flat_loc[m], axis_model).reshape(B, k, k).transpose(1, 2, 0)
+            s_t, SM3, llk_m, sq_m = kernels.spd_estep(
+                sigmas[m], G3m, b[m].T, rnorm[m][None, :], d_obs[None, :]
+            )
+            s_list.append(s_t.T)                        # (B,k)
+            SM_list.append(SM3.reshape(k * k, B).T)     # (B,k^2)
+            llk_list.append(llk_m[0])
+            sq_list.append(sq_m[0])
+        s = jnp.stack(s_list)                           # (M,B,k)
+        SM = jnp.stack(SM_list)                         # (M,B,k^2)
+        llks = jnp.stack(llk_list)                      # (M,B)
+        sq_b = jnp.stack(sq_list)                       # (M,B)
+    else:
+        sigma2 = (sigmas * sigmas)[:, None, None]
+        G = _psum(G_flat_loc, axis_model).reshape(M, B, k, k)
+        Mmat = G + sigma2[..., None] * jnp.eye(k, dtype=dtype)
+        L = jnp.linalg.cholesky(Mmat)
+        s = jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
+        eye = jnp.broadcast_to(jnp.eye(k, dtype=dtype), Mmat.shape)
+        Sigma = sigma2[..., None] * jax.scipy.linalg.cho_solve((L, True), eye)
+        SM = (s[..., :, None] * s[..., None, :] + Sigma).reshape(M, B, k * k)
+        if k > 0:
+            diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+            logdet_m = 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+        else:
+            logdet_m = jnp.zeros((M, B), dtype)
+        quad = (rnorm - jnp.sum(b * s, axis=-1)) / (sigmas * sigmas)[:, None]
+        logdet = logdet_m + 2.0 * jnp.log(sigmas)[:, None] * (d_obs[None, :] - k)
+        llks = -0.5 * (quad + logdet + LN_2PI * d_obs[None, :])
+        sq_b = jnp.sum(G_flat_loc.reshape(M, B, k * k) * Sigma.reshape(M, B, k * k), axis=-1)
+
+    # responsibilities (mix.rs:289-295) and the mixture llk — same pass.
+    joint = llks + log_weights[:, None]                 # (M,B)
+    mx = jnp.max(joint, axis=0)
+    lse = mx + jnp.log(jnp.sum(jnp.exp(joint - mx[None, :]), axis=0))
+    post = jnp.exp(joint - lse[None, :])                # (M,B)
+    llk_mix = jnp.sum(w * lse)
+    resp = post * w[None, :]                            # (M,B) responsibility weights
+
+    # responsibility-weighted M-step statistics per component.
+    cross = jnp.einsum("mbd,mbk->mdk", R, s * resp[..., None])
+    S = jnp.einsum("bd,mbq->mdq", mask_f, SM * resp[..., None])
+    dev = mask_f[None] * (datab[None] - jnp.einsum("mbk,mdk->mbd", s, Cs) - means[:, None, :])
+    dev_sq = jnp.sum(resp * jnp.sum(dev * dev, axis=-1), axis=-1)
+    total_dev = jnp.einsum("mb,mbd->md", resp, dev)
+    totals = jnp.einsum("mb,bd->md", resp, mask_f)
+    square_error = jnp.sum(resp * sq_b, axis=-1)
+    resp_sum = jnp.sum(resp, axis=-1)
+    resp_max = jnp.max(resp, axis=-1)
+    n_obs = jnp.sum(resp * d_obs[None, :], axis=-1)
+
+    return MixEMStats(cross, S, square_error, dev_sq, total_dev, totals,
+                      resp_sum, resp_max, llk_mix, n_obs)
+
+
+def mix_em_stats(Cs, means, sigmas, log_weights, data, mask, weights, *,
+                 block_size: int, axis_model: Optional[str] = None) -> MixEMStats:
+    """One fused pass computing every component's EM statistics, the
+    responsibilities, the mixture llk, and the new-weight numerators."""
+    n, _ = data.shape
+    M, D_loc, k = Cs.shape
+    dtype = data.dtype
+    CCs = (Cs[:, :, :, None] * Cs[:, :, None, :]).reshape(M, D_loc, k * k)
+    use_kernel = ml._use_kernel(k, block_size, dtype, axis_model)
+    _, (data3, mask3, w2) = _pad_blocks(n, block_size, data, mask, weights)
+
+    def body(acc, xs):
+        datab, maskb, w = xs
+        new = _block_mix(Cs, CCs, means, sigmas, log_weights,
+                         datab, maskb.astype(dtype), w, use_kernel, axis_model)
+        big = (acc[0] + new.cross, acc[1] + new.S)
+        small = (new.square_error, new.dev_sq, new.total_dev, new.totals,
+                 new.resp_sum, new.resp_max, new.llk, new.n_obs)
+        return big, small
+
+    zero = (jnp.zeros((M, D_loc, k), dtype), jnp.zeros((M, D_loc, k * k), dtype))
+    (cross, S), small = lax.scan(body, zero, (data3, mask3, w2))
+    (square_error, dev_sq, total_dev, totals, resp_sum, llk, n_obs) = (
+        jnp.sum(x, axis=0)
+        for x in (small[0], small[1], small[2], small[3], small[4], small[6], small[7])
+    )
+    resp_max = jnp.max(small[5], axis=0)
+    return MixEMStats(cross, S, square_error, dev_sq, total_dev, totals,
+                      resp_sum, resp_max, llk, n_obs)
+
+
+def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
+                    transformation_precision,
+                    noise_prior=None, mean_prior=None,
+                    axis_model: Optional[str] = None):
+    """Vmapped per-component M-step (same math as masked_linalg.em_finalize)
+    plus the new mixture log-weights (`mix.rs:324-335`)."""
+
+    # The reference runs each component's inner EM with weights scaled to
+    # max 1 (`mix.rs:310-323`); prior strengths are relative to that scale,
+    # so the (weight-linear) statistics are rescaled the same way here.
+    inv_scale = 1.0 / stats.resp_max
+
+    def finalize_one(C, mean, sigma, cross, S, square_error, dev_sq,
+                     total_dev, totals, c):
+        st = ml.EMStats(cross * c, S * c, square_error * c, dev_sq * c,
+                        total_dev * c, totals * c,
+                        jnp.zeros((), C.dtype), jnp.zeros((), C.dtype))
+        return ml.em_finalize(
+            C, mean, sigma, st,
+            transformation_precision=transformation_precision,
+            noise_prior=noise_prior,
+            mean_prior=mean_prior,
+            axis_model=axis_model,
+        )
+
+    if axis_model is None:
+        new_Cs, new_means, new_sigmas = jax.vmap(finalize_one)(
+            Cs, means, sigmas, stats.cross, stats.S, stats.square_error,
+            stats.dev_sq, stats.total_dev, stats.totals, inv_scale,
+        )
+    else:
+        # collectives inside vmap are awkward; M is small — loop.
+        outs = [
+            finalize_one(Cs[m], means[m], sigmas[m], stats.cross[m], stats.S[m],
+                         stats.square_error[m], stats.dev_sq[m],
+                         stats.total_dev[m], stats.totals[m], inv_scale[m])
+            for m in range(Cs.shape[0])
+        ]
+        new_Cs = jnp.stack([o[0] for o in outs])
+        new_means = jnp.stack([o[1] for o in outs])
+        new_sigmas = jnp.stack([o[2] for o in outs])
+
+    new_log_weights = jnp.log(stats.resp_sum)
+    new_log_weights = new_log_weights - jax.scipy.special.logsumexp(new_log_weights)
+    return new_Cs, new_means, new_sigmas, new_log_weights

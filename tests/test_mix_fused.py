@@ -1,0 +1,94 @@
+"""Fused single-pass mixture EM (ops/mix_fused.py) vs the reference-shaped
+per-component loop — both must produce identical models."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ppca_rs_tpu import Dataset, PPCAMix, PPCAModel, Prior
+from ppca_rs_tpu.parallel.mesh import dataset_mesh
+
+
+def make_mix_and_data(rng, M=3, d=7, k=2, n=60):
+    models = [
+        PPCAModel(
+            isotropic_noise=0.3 + 0.1 * i,
+            transform=rng.normal(size=(d, k)),
+            mean=rng.normal(size=d),
+        )
+        for i in range(M)
+    ]
+    mix = PPCAMix(models, rng.normal(size=M))
+    data = rng.normal(size=(n, d))
+    data[rng.random((n, d)) < 0.3] = np.nan
+    data[4] = np.nan
+    weights = rng.random(n) + 0.5
+    weights[7] = 0.0
+    return mix, Dataset(data, weights=weights)
+
+
+def loop_iterate(mix, dataset, prior):
+    """Force the reference-shaped per-component loop by faking a mesh check."""
+    per = mix._component_llks(dataset)
+    import jax.numpy as jnp
+    from ppca_rs_tpu.models.mix import _log_softmax_jit, _logsumexp_jit
+
+    joint = per + mix._log_weights[None, :]
+    llk = float(jnp.sum(_logsumexp_jit(joint) * dataset.weights))
+    log_post = _log_softmax_jit(joint)
+    log_w_data = jnp.log(dataset.weights)
+    new_models, new_lw = [], []
+    for i, model in enumerate(mix._models):
+        lp = log_w_data + log_post[:, i]
+        max_lp = jnp.max(lp)
+        unnorm = jnp.exp(lp - max_lp)
+        logsum = jnp.log(jnp.sum(unnorm)) + max_lp
+        new_models.append(model.iterate_with_prior(dataset.with_weights(unnorm), prior))
+        new_lw.append(logsum)
+    return PPCAMix(new_models, jnp.stack(new_lw)), llk
+
+
+@pytest.mark.parametrize("prior_kind", ["none", "all"])
+def test_fused_matches_loop(rng, prior_kind):
+    mix, ds = make_mix_and_data(rng)
+    prior = Prior()
+    if prior_kind == "all":
+        prior = (
+            prior.with_isotropic_noise_prior(2.0, 3.0)
+            .with_transformation_precision(0.3)
+            .with_mean_prior(rng.normal(size=7), np.eye(7) * 0.8)
+        )
+
+    fused, llk_f = mix._iterate_fused(ds, prior)
+    loop, llk_l = loop_iterate(mix, ds, prior)
+
+    assert np.isclose(llk_f, llk_l, rtol=1e-10)
+    np.testing.assert_allclose(fused.log_weights, loop.log_weights, rtol=1e-8, atol=1e-10)
+    for a, b in zip(fused.models, loop.models):
+        np.testing.assert_allclose(a.transform, b.transform, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(a.mean, b.mean, rtol=1e-7, atol=1e-9)
+        assert np.isclose(a.isotropic_noise, b.isotropic_noise, rtol=1e-8)
+
+
+def test_fused_is_default_for_equal_sizes(rng):
+    mix, ds = make_mix_and_data(rng)
+    assert dataset_mesh(ds) is None
+    # iterate() routes through the fused path and increases llk
+    prev = mix.llk(ds)
+    cur = mix
+    for _ in range(6):
+        cur = cur.iterate(ds)
+        llk = cur.llk(ds)
+        assert llk >= prev - 1e-6
+        prev = llk
+
+
+def test_heterogeneous_falls_back(rng):
+    m1 = PPCAModel(isotropic_noise=0.5, transform=rng.normal(size=(5, 1)), mean=np.zeros(5))
+    m2 = PPCAModel(isotropic_noise=0.5, transform=rng.normal(size=(5, 3)), mean=np.ones(5))
+    mix = PPCAMix([m1, m2], np.zeros(2))
+    data = mix.sample(30, 0.2, key=jax.random.PRNGKey(0))
+    new = mix.iterate(data)  # loop path
+    assert new.state_sizes == [1, 3]
+    assert np.isfinite(new.llk(data))
