@@ -265,10 +265,8 @@ class PPCAMix:
         Components with equal state sizes on an unsharded dataset take the
         single-pass fused path (ops/mix_fused.py); otherwise the
         reference-shaped per-component loop runs."""
-        from ..parallel.mesh import dataset_mesh
-
         sizes = {m.state_size for m in self._models}
-        if len(sizes) == 1 and dataset_mesh(dataset) is None:
+        if len(sizes) == 1:
             return self._iterate_fused(dataset, prior)
         per = self._component_llks(dataset)                      # (N, M)
         joint = per + self._log_weights[None, :]
@@ -290,10 +288,28 @@ class PPCAMix:
         return PPCAMix(new_models, jnp.stack(new_log_weights)), llk
 
     def _iterate_fused(self, dataset: Dataset, prior: Prior):
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, dataset_mesh
+
         dtype = self._models[0]._transform.dtype
         Cs = jnp.stack([m._transform for m in self._models])
         means = jnp.stack([m._mean for m in self._models])
         sigmas = jnp.stack([m._isotropic_noise for m in self._models])
+
+        mesh = dataset_mesh(dataset)
+        if mesh is None:
+            step = _mix_em_jit
+            block = block_size_for(
+                max(1, dataset.padded_len // max(1, len(self._models)))
+            )
+        else:
+            from ..parallel.api import fns_for
+
+            use_model = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
+            step = fns_for(mesh, use_model)["mix_em_step"]
+            block = block_size_for(
+                max(1, dataset.padded_len
+                    // (mesh.shape[DATA_AXIS] * max(1, len(self._models))))
+            )
         tprec = jnp.asarray(prior.transformation_precision(), dtype=dtype)
         noise_prior = None
         if prior.has_isotropic_noise_prior():
@@ -308,11 +324,10 @@ class PPCAMix:
                 jnp.asarray(prior.mean_precision(), dtype=dtype),
             )
         with _precision():
-            new_Cs, new_means, new_sigmas, new_logw, llk = _mix_em_jit(
+            new_Cs, new_means, new_sigmas, new_logw, llk = step(
                 Cs, means, sigmas, self._log_weights,
                 dataset.data, dataset.mask, dataset.weights,
-                tprec, noise_prior, mean_prior,
-                block_size_for(max(1, dataset.padded_len // max(1, len(self._models)))),
+                tprec, noise_prior, mean_prior, block,
             )
         new_models = [
             PPCAModel._from_params(new_Cs[m], new_means[m], new_sigmas[m])

@@ -157,6 +157,44 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
             (cspec, mspec, rep, rep),
         )(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior)
 
+    @functools.partial(jax.jit, static_argnames=("block_size",))
+    def mix_em_step(Cs, means, sigmas, log_weights, data, mask, weights,
+                    tprec, noise_prior, mean_prior, block_size):
+        """Sharded fused mixture EM (ops/mix_fused.py): per-component stats
+        psum over the data axis (max for the weight-normalization term),
+        finalization model-sharded like the single-model path."""
+        from ..ops import mix_fused as mfd
+
+        def inner(Cs, means, sigmas, log_weights, data, mask, weights,
+                  tprec, noise_prior, mean_prior):
+            stats = mfd.mix_em_stats(
+                Cs, means, sigmas, log_weights, data, mask, weights,
+                block_size=block_size, axis_model=axis_model,
+            )
+            stats = mfd.MixEMStats(
+                *(
+                    lax.pmax(x, DATA_AXIS) if name == "resp_max"
+                    else lax.psum(x, DATA_AXIS)
+                    for name, x in zip(stats._fields, stats)
+                )
+            )
+            new_Cs, new_means, new_sigmas, new_logw = mfd.mix_em_finalize(
+                Cs, means, sigmas, stats,
+                transformation_precision=tprec,
+                noise_prior=noise_prior,
+                mean_prior=mean_prior,
+                axis_model=axis_model,
+            )
+            return new_Cs, new_means, new_sigmas, new_logw, stats.llk
+
+        return smap(
+            inner,
+            (P(None, col, None), P(None, col), rep, rep,
+             rows, rows, wspec, rep, rep, rep),
+            (P(None, col, None), P(None, col), rep, rep, rep),
+        )(Cs, means, sigmas, log_weights, data, mask, weights,
+          tprec, noise_prior, mean_prior)
+
     return {
         "llks": llks,
         "llk": llk,
@@ -164,4 +202,5 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         "smooth": smooth,
         "extrapolate": extrapolate,
         "em_step": em_step,
+        "mix_em_step": mix_em_step,
     }
