@@ -1,0 +1,154 @@
+"""Benchmark suite: the five BASELINE.json configs, end to end.
+
+Run on TPU: python bench_suite.py        (prints a markdown table)
+
+`bench.py` remains the driver's single-JSON-line benchmark; this suite is the
+broader evidence across workload shapes.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def main():
+    sys.path.insert(0, ".")
+    import jax
+    import jax.numpy as jnp
+
+    from ppca_rs_tpu import Dataset, PPCAMix, PPCAModel, PPCATrainer, Prior
+
+    rows = []
+    key = jax.random.PRNGKey(0)
+
+    # 1. Toy PPCA: fully observed, D=16, k=2, 10 EM iters ------------------
+    real = PPCAModel(
+        isotropic_noise=0.3,
+        transform=np.random.default_rng(0).normal(size=(16, 2)),
+        mean=np.zeros(16),
+    )
+    ds = real.sample(100_000, 0.0, key=key)
+    model = PPCAModel.init(2, ds, key=key)
+    model, _ = model._iterate_with_llk(ds, None)  # compile
+    t0 = time.perf_counter()
+    for _ in range(10):
+        model, llk = model._iterate_with_llk(ds, None)
+    jax.block_until_ready(model._transform)
+    dt = time.perf_counter() - t0
+    rows.append(("toy fully-observed (D=16, k=2, N=100k, 10 EM iters)",
+                 f"{dt:.3f}s total", f"{len(ds) * 10 / dt:,.0f} samples/s"))
+
+    # 2. Masked PPCA 30% NaN: train + extrapolate + CIs --------------------
+    real = PPCAModel(
+        isotropic_noise=0.2,
+        transform=np.random.default_rng(1).normal(size=(128, 8)),
+        mean=np.zeros(128),
+    )
+    ds = real.sample(100_000, 0.3, key=jax.random.PRNGKey(1))
+    model = PPCATrainer(ds).train(state_size=8, n_iters=10, quiet=True,
+                                  key=jax.random.PRNGKey(2))
+
+    def readout():
+        extr = model.extrapolate(ds)
+        inf = model.infer(ds)
+        ci = inf.extrapolated_covariances_diagonal(model, ds)
+        jax.block_until_ready(ci.data)
+        return extr
+
+    extr = readout()  # compile
+    t0 = time.perf_counter()
+    extr = readout()
+    dt = time.perf_counter() - t0
+    assert np.isfinite(extr.numpy()).all()
+    rows.append(("masked 30% NaN: extrapolate + CI readout (D=128, k=8, N=100k)",
+                 f"{dt:.3f}s", f"{len(ds) / dt:,.0f} samples/s"))
+
+    # 3. Big toy: D=512, k=32, N=1M, masked EM ------------------------------
+    N, D, k = 1_000_000, 512, 32
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    Ct = jax.random.normal(ks[0], (D, k), dtype=jnp.float32)
+
+    @jax.jit
+    def gen():
+        z = jax.random.normal(ks[1], (N, k), dtype=jnp.float32)
+        eps = jax.random.normal(ks[2], (N, D), dtype=jnp.float32)
+        data = z @ Ct.T + 0.4 * eps
+        mask = jax.random.bernoulli(ks[1], 0.8, (N, D))
+        return jnp.where(mask, data, 0.0), mask
+
+    data, mask = gen()
+    big = Dataset.from_parts(data, mask)
+    model = PPCAModel.init(k, big, key=jax.random.PRNGKey(4))
+    model, _ = model._iterate_with_llk(big, None)
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        model, llk = model._iterate_with_llk(big, None)
+    jax.block_until_ready(model._transform)
+    dt = time.perf_counter() - t0
+    rows.append((f"big toy masked EM (D={D}, k={k}, N=1M, 20% missing)",
+                 f"{dt / iters:.3f}s/iter", f"{N * iters / dt:,.0f} samples/s"))
+
+    # 4. 8-component mixture ------------------------------------------------
+    N, D, k, M = 200_000, 512, 32, 8
+    ksm = jax.random.split(jax.random.PRNGKey(5), 4)
+
+    @jax.jit
+    def genm():
+        comp = jax.random.randint(ksm[0], (N,), 0, M)
+        Cs = jax.random.normal(ksm[1], (M, D, k), dtype=jnp.float32)
+        means = 3.0 * jax.random.normal(ksm[2], (M, D), dtype=jnp.float32)
+        z = jax.random.normal(ksm[3], (N, k), dtype=jnp.float32)
+        eps = jax.random.normal(ksm[0], (N, D), dtype=jnp.float32)
+        data = jnp.einsum("nk,ndk->nd", z, Cs[comp]) + means[comp] + 0.3 * eps
+        mask = jax.random.bernoulli(ksm[1], 0.8, (N, D))
+        return jnp.where(mask, data, 0.0), mask
+
+    data, mask = genm()
+    mds = Dataset.from_parts(data, mask)
+    mix = PPCAMix.init(M, k, mds, key=jax.random.PRNGKey(6))
+    mix, _ = mix._iterate_with_llk(mds, Prior())
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        mix, llk = mix._iterate_with_llk(mds, Prior())
+    dt = time.perf_counter() - t0
+    rows.append((f"mixture EM, M={M} fused single-pass (D={D}, k={k}, N=200k)",
+                 f"{dt / iters:.3f}s/iter", f"{N * iters / dt:,.0f} samples/s"))
+
+    # 5. Priors + degenerate cases ------------------------------------------
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=(50_000, 64))
+    data[rng.random(data.shape) < 0.4] = np.nan
+    data[:, 3] = np.nan              # empty dimension
+    data[: 100] = np.nan             # all-missing rows
+    dds = Dataset(data)
+    prior = (
+        Prior()
+        .with_isotropic_noise_prior(50.0, 50.0)
+        .with_transformation_precision(0.1)
+        .with_mean_prior(np.zeros(64), np.eye(64))
+    )
+    PPCATrainer(dds).train(state_size=8, n_iters=1, prior=prior,
+                           quiet=True, key=jax.random.PRNGKey(8))  # compile
+    t0 = time.perf_counter()
+    model = PPCATrainer(dds).train(state_size=8, n_iters=10, prior=prior,
+                                   quiet=True, key=jax.random.PRNGKey(8))
+    dt = time.perf_counter() - t0
+    assert np.allclose(model.transform[3], 0.0)
+    rows.append(("priors + empty dim + all-NaN rows (D=64, k=8, N=50k, 10 iters)",
+                 f"{dt:.3f}s total", f"{len(dds) * 10 / dt:,.0f} samples/s"))
+
+    log("\n| config | time | throughput |")
+    log("|---|---|---|")
+    for name, t, thr in rows:
+        log(f"| {name} | {t} | {thr} |")
+
+
+if __name__ == "__main__":
+    main()
