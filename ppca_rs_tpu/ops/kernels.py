@@ -78,7 +78,7 @@ def _make_kernel(want: str):
 
         k = A_scr.shape[1]
         T = A_scr.shape[3]
-        sigma2 = sigma_ref[0, 0]
+        sigma2 = sigma_ref[0, :]          # (T,) per-lane noise variance
         dtype = b_ref.dtype
         ii = lax.broadcasted_iota(jnp.int32, (k, T), 0)   # row index over (k, T)
         i = pl.program_id(0)
@@ -117,7 +117,7 @@ def _make_kernel(want: str):
         # ---- the single fused column loop -------------------------------
         if want == "llk":
             def chol_col(j, corrections):
-                colM = A_scr[cur, j] + sigma2 * (ii == j).astype(dtype)
+                colM = A_scr[cur, j] + sigma2[None, :] * (ii == j).astype(dtype)
                 for lc in corrections:
                     coef = jnp.sum(jnp.where(ii == j, lc, 0.0), axis=0)
                     colM = colM - lc * coef[None, :]
@@ -167,7 +167,7 @@ def _make_kernel(want: str):
         def col_step(j, corrections):
             """One Cholesky column with in-pair corrections applied lazily
             (the trailing buffer updates happen once per pair)."""
-            colM = A_scr[cur, j] + sigma2 * (ii == j).astype(dtype)
+            colM = A_scr[cur, j] + sigma2[None, :] * (ii == j).astype(dtype)
             for lc in corrections:
                 coef = jnp.sum(jnp.where(ii == j, lc, 0.0), axis=0)
                 colM = colM - lc * coef[None, :]
@@ -245,7 +245,8 @@ def _make_kernel(want: str):
             tr_minv = jnp.sum(SM_ref[...] * eye_col, axis=(0, 1))
             sq_ref[...] = (sigma2 * (k - sigma2 * tr_minv))[None, :]
             # SM = s s^T + sigma^2 M^{-1}
-            SM_ref[...] = s[:, None, :] * s[None, :, :] + sigma2 * SM_ref[...]
+            SM_ref[...] = (s[:, None, :] * s[None, :, :]
+                           + sigma2[None, None, :] * SM_ref[...])
 
     return kernel
 
@@ -260,7 +261,9 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
     """Fused batched SPD E-step.
 
     Args:
-      sigma: scalar isotropic noise (not squared).
+      sigma: scalar isotropic noise (not squared), or a per-sample (1, B)
+        lane vector (used by the fused mixture path, where lanes from
+        different components carry different noise levels).
       G3: (k, k, B) per-sample masked Grams ``C^T diag(m) C`` (B on lanes).
       b_t: (k, B) per-sample ``C^T (m * (y - mu))``.
       rnorm: (1, B) squared norms of the masked centered samples.
@@ -278,7 +281,8 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
     if B % LANE != 0:
         raise ValueError(f"batch {B} must be a multiple of {LANE}")
     dtype = G3.dtype
-    sigma2 = (sigma * sigma).astype(dtype).reshape(1, 1)
+    sigma = jnp.asarray(sigma, dtype)
+    sigma2 = jnp.broadcast_to((sigma * sigma).reshape(1, -1), (1, B))
     grid = (B // LANE,)
 
     def vec_spec(rows):
@@ -317,7 +321,7 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
         _KERNELS[want],
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vec_spec(1),                            # per-lane sigma^2
             pl.BlockSpec(memory_space=pltpu.ANY),   # G streams by manual DMA
             vec_spec(k),
             vec_spec(1),

@@ -78,23 +78,19 @@ def _block_mix(Cs, CCs, means, sigmas, log_weights, datab, mask_f, w,
     if use_kernel:
         from . import kernels
 
-        # The kernel takes one scalar sigma, so components run through it
-        # sequentially — still inside this single scan body, so the data is
-        # read once per block regardless of M.
-        s_list, SM_list, llk_list, sq_list = [], [], [], []
-        for m in range(M):
-            G3m = _psum(G_flat_loc[m], axis_model).reshape(B, k, k).transpose(1, 2, 0)
-            s_t, SM3, llk_m, sq_m = kernels.spd_estep(
-                sigmas[m], G3m, b[m].T, rnorm[m][None, :], d_obs[None, :]
-            )
-            s_list.append(s_t.T)                        # (B,k)
-            SM_list.append(SM3.reshape(k * k, B).T)     # (B,k^2)
-            llk_list.append(llk_m[0])
-            sq_list.append(sq_m[0])
-        s = jnp.stack(s_list)                           # (M,B,k)
-        SM = jnp.stack(SM_list)                         # (M,B,k^2)
-        llks = jnp.stack(llk_list)                      # (M,B)
-        sq_b = jnp.stack(sq_list)                       # (M,B)
+        # All components stack along the kernel's lane axis — one call
+        # factors M x B posteriors (the kernel takes per-lane sigmas).
+        G3 = _psum(G_flat_loc, axis_model).reshape(M * B, k, k).transpose(1, 2, 0)
+        b_t = b.reshape(M * B, k).T
+        sig_lane = jnp.repeat(sigmas, B)[None, :]                 # (1, M*B)
+        dob_lane = jnp.tile(d_obs, M)[None, :]
+        s_t, SM3, llk_l, sq_l = kernels.spd_estep(
+            sig_lane, G3, b_t, rnorm.reshape(1, M * B), dob_lane
+        )
+        s = s_t.T.reshape(M, B, k)
+        SM = SM3.reshape(k * k, M, B).transpose(1, 2, 0)
+        llks = llk_l.reshape(M, B)
+        sq_b = sq_l.reshape(M, B)
     else:
         sigma2 = (sigmas * sigmas)[:, None, None]
         G = _psum(G_flat_loc, axis_model).reshape(M, B, k, k)
