@@ -310,19 +310,7 @@ class PPCAMix:
                 max(1, dataset.padded_len
                     // (mesh.shape[DATA_AXIS] * max(1, len(self._models))))
             )
-        tprec = jnp.asarray(prior.transformation_precision(), dtype=dtype)
-        noise_prior = None
-        if prior.has_isotropic_noise_prior():
-            noise_prior = (
-                jnp.asarray(prior.isotropic_noise_alpha(), dtype=dtype),
-                jnp.asarray(prior.isotropic_noise_beta(), dtype=dtype),
-            )
-        mean_prior = None
-        if prior.has_mean_prior():
-            mean_prior = (
-                jnp.asarray(prior.mean(), dtype=dtype),
-                jnp.asarray(prior.mean_precision(), dtype=dtype),
-            )
+        tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
         with _precision():
             new_Cs, new_means, new_sigmas, new_logw, llk = step(
                 Cs, means, sigmas, self._log_weights,

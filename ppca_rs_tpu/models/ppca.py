@@ -498,19 +498,7 @@ class PPCAModel:
         dtype = self._transform.dtype
         if prior is None:
             prior = Prior()
-        tprec = jnp.asarray(prior.transformation_precision(), dtype=dtype)
-        noise_prior = None
-        if prior.has_isotropic_noise_prior():
-            noise_prior = (
-                jnp.asarray(prior.isotropic_noise_alpha(), dtype=dtype),
-                jnp.asarray(prior.isotropic_noise_beta(), dtype=dtype),
-            )
-        mean_prior = None
-        if prior.has_mean_prior():
-            mean_prior = (
-                jnp.asarray(prior.mean(), dtype=dtype),
-                jnp.asarray(prior.mean_precision(), dtype=dtype),
-            )
+        tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
         fns, bs = _impl_and_block(dataset)
         with _precision():
             new_C, new_mean, new_sigma, llk = fns["em_step"](

@@ -114,6 +114,26 @@ class Prior:
     def transformation_precision(self) -> float:
         return self._transformation_precision
 
+    def device_pieces(self, dtype):
+        """(tprec, noise_prior, mean_prior) as device values for the jitted
+        EM steps; absent priors stay None (distinct jit cache entries)."""
+        import jax.numpy as jnp
+
+        tprec = jnp.asarray(self._transformation_precision, dtype=dtype)
+        noise_prior = None
+        if self.has_isotropic_noise_prior():
+            noise_prior = (
+                jnp.asarray(self._isotropic_noise_alpha, dtype=dtype),
+                jnp.asarray(self._isotropic_noise_beta, dtype=dtype),
+            )
+        mean_prior = None
+        if self.has_mean_prior():
+            mean_prior = (
+                jnp.asarray(self._mean, dtype=dtype),
+                jnp.asarray(self._mean_precision, dtype=dtype),
+            )
+        return tprec, noise_prior, mean_prior
+
     def __repr__(self) -> str:
         parts = []
         if self.has_mean_prior():

@@ -98,6 +98,42 @@ def test_kernel_light_variants(rng, k):
     np.testing.assert_allclose(np.asarray(s_states), np.asarray(s_full), rtol=1e-4, atol=1e-5)
 
 
+def test_kernel_per_lane_sigma(rng):
+    """Per-lane sigma (the fused-mixture path: lanes from different
+    components carry different noise levels) matches per-sigma scalar calls."""
+    B, D, k = 128, 16, 4
+    C = jnp.asarray(rng.normal(size=(D, k)), jnp.float32)
+    mean = jnp.zeros(D, jnp.float32)
+    data = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, D)) > 0.3)
+    data = jnp.where(mask, data, 0.0)
+    mf = mask.astype(jnp.float32)
+    CC = ml.outer_flat(C)
+
+    sigmas = np.where(np.arange(B) < B // 2, 0.4, 1.3).astype(np.float32)
+    post_a = ml.block_posterior(C, CC, mean, jnp.float32(0.4), data, mf)
+    post_b = ml.block_posterior(C, CC, mean, jnp.float32(1.3), data, mf)
+    G3 = jnp.transpose(post_a.G_local.reshape(B, k, k), (1, 2, 0))
+    rnorm = jnp.sum(post_a.R * post_a.R, axis=-1)[None, :]
+    dob = jnp.sum(mf, axis=-1)[None, :]
+
+    s_t, SM3, llk, sq = kernels.spd_estep(
+        jnp.asarray(sigmas)[None, :], G3, post_a.b.T, rnorm, dob, interpret=True
+    )
+    want_states = np.where(
+        (np.arange(B) < B // 2)[:, None],
+        np.asarray(post_a.states),
+        np.asarray(post_b.states),
+    )
+    np.testing.assert_allclose(np.asarray(s_t).T, want_states, rtol=3e-4, atol=1e-5)
+    want_llk = np.where(
+        np.arange(B) < B // 2,
+        np.asarray(ml.block_llk(post_a, jnp.float32(0.4), k)),
+        np.asarray(ml.block_llk(post_b, jnp.float32(1.3), k)),
+    )
+    np.testing.assert_allclose(np.asarray(llk)[0], want_llk, rtol=3e-4, atol=3e-3)
+
+
 def test_kernel_batch_alignment():
     with pytest.raises(ValueError):
         kernels.spd_estep(
