@@ -14,6 +14,7 @@ from .prior import Prior
 from .models.ppca import InferredMasked, PosteriorSampler, PPCAModel
 from .models.mix import InferredMaskedMix, PosteriorSamplerMix, PPCAMix
 from .trainer import PPCAMixTrainer, PPCATrainer, TrainMetrics
+from .streaming import StreamingPPCATrainer, iterate_streamed
 from .adapters import DataFrameAdapter, DataFrameAdapterDescription
 from .utils.rng import seed
 
@@ -31,6 +32,8 @@ __all__ = [
     "PosteriorSamplerMix",
     "PPCATrainer",
     "PPCAMixTrainer",
+    "StreamingPPCATrainer",
+    "iterate_streamed",
     "TrainMetrics",
     "DataFrameAdapter",
     "DataFrameAdapterDescription",

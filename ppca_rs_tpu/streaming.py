@@ -1,0 +1,135 @@
+"""Out-of-core (streaming) EM training.
+
+The reference exposes ``Dataset.chunks``/``concat`` for "user-driven
+out-of-core workflows" (`src/python_bindings.rs:110-133`, SURVEY.md §2.5) but
+leaves the accumulation to the user.  Here the EM makes it first-class: the
+sufficient statistics of one iteration (ops/masked_linalg.EMStats) are
+*additive over samples*, so a dataset far larger than device memory trains by
+streaming host-resident chunks through the jitted statistics pass and summing
+the (tiny) results — one device-resident chunk at a time, mathematically
+identical to a single-shot ``iterate`` over the concatenated data.
+
+    chunks = [Dataset(part) for part in parts]           # host numpy inside
+    model = StreamingPPCATrainer(chunks).train(state_size=16, n_iters=10)
+
+Each chunk may be a :class:`Dataset` or a zero-argument callable returning
+one (for lazy loading from disk / object storage).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Iterable, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import block_size_for
+from .dataset import Dataset
+from .models.ppca import PPCAModel, _precision
+from .ops import masked_linalg as ml
+from .prior import Prior
+from .trainer import Metric, MetricsCallback, TrainMetrics
+
+ChunkLike = Union[Dataset, Callable[[], Dataset]]
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _stats_jit(C, mean, sigma, data, mask, weights, block_size):
+    return ml.em_stats(C, mean, sigma, data, mask, weights, block_size=block_size)
+
+
+@jax.jit
+def _stats_add(a: ml.EMStats, b: ml.EMStats) -> ml.EMStats:
+    return jax.tree.map(jnp.add, a, b)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _finalize_jit(C, mean, sigma, stats, tprec, noise_prior, mean_prior):
+    return ml.em_finalize(
+        C, mean, sigma, stats,
+        transformation_precision=tprec,
+        noise_prior=noise_prior,
+        mean_prior=mean_prior,
+    )
+
+
+def _resolve(chunk: ChunkLike) -> Dataset:
+    return chunk() if callable(chunk) else chunk
+
+
+def iterate_streamed(
+    model: PPCAModel,
+    chunks: Sequence[ChunkLike],
+    prior: Optional[Prior] = None,
+):
+    """One EM iteration over a stream of chunks.  Returns
+    ``(new_model, llk)`` where llk is the total log-likelihood of ``model``
+    over all chunks — identical to ``model._iterate_with_llk`` on the
+    concatenated dataset."""
+    if not len(chunks):
+        raise ValueError("need at least one chunk")
+    dtype = model._transform.dtype
+    prior = prior if prior is not None else Prior()
+    tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
+
+    total = None
+    with _precision():
+        for chunk in chunks:
+            ds = _resolve(chunk)
+            stats = _stats_jit(
+                model._transform, model._mean, model._isotropic_noise,
+                ds.data, ds.mask, ds.weights,
+                block_size_for(ds.padded_len),
+            )
+            total = stats if total is None else _stats_add(total, stats)
+        new_C, new_mean, new_sigma = _finalize_jit(
+            model._transform, model._mean, model._isotropic_noise,
+            total, tprec, noise_prior, mean_prior,
+        )
+    return PPCAModel._from_params(new_C, new_mean, new_sigma), float(total.llk)
+
+
+class StreamingPPCATrainer:
+    """Train a PPCA model over chunks that never need to coexist in device
+    memory.  API mirrors :class:`ppca_rs_tpu.PPCATrainer`."""
+
+    def __init__(self, chunks: Sequence[ChunkLike]):
+        self.chunks = list(chunks)
+        if not self.chunks:
+            raise ValueError("need at least one chunk")
+
+    def _n_samples(self) -> int:
+        return sum(len(_resolve(c)) for c in self.chunks)
+
+    def train(
+        self,
+        *,
+        start: Optional[PPCAModel] = None,
+        prior: Optional[Prior] = None,
+        state_size: int,
+        n_iters: int = 10,
+        metric: Metric = "aic",
+        quiet: bool = False,
+        callback: Optional[MetricsCallback] = None,
+        key=None,
+    ) -> PPCAModel:
+        first = _resolve(self.chunks[0])
+        model = start if start is not None else PPCAModel.init(state_size, first, key=key)
+        n = self._n_samples()
+
+        for idx in range(n_iters):
+            new_model, llk = iterate_streamed(model, self.chunks, prior)
+            if not quiet or callback is not None:
+                metrics = TrainMetrics.compute(llk, model.n_parameters, n)
+                if callback is not None:
+                    callback(idx + 1, metrics)
+                if not quiet:
+                    print(
+                        f"Masked PPCA iteration {idx + 1}: "
+                        f"{metric}={getattr(metrics, metric)}"
+                    )
+            model = new_model
+
+        return model.to_canonical()
