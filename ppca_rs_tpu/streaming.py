@@ -83,7 +83,14 @@ def iterate_streamed(
                 ds.data, ds.mask, ds.weights,
                 block_size_for(ds.padded_len),
             )
+            del ds
             total = stats if total is None else _stats_add(total, stats)
+            if callable(chunk):
+                # Lazily-loaded chunk: wait for its statistics so its device
+                # buffers are reclaimable before the next chunk materializes
+                # (the point of streaming). Pre-resident Dataset chunks keep
+                # full async overlap.
+                jax.block_until_ready(total.llk)
         new_C, new_mean, new_sigma = _finalize_jit(
             model._transform, model._mean, model._isotropic_noise,
             total, tprec, noise_prior, mean_prior,
