@@ -20,3 +20,6 @@ examples:
 clean:
 	rm -f ppca_rs_tpu/native/*.so ppca_rs_tpu/native/*.so.tmp
 	find . -name __pycache__ -type d -exec rm -rf {} +
+
+install:
+	pip install -e .
