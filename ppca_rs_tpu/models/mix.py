@@ -265,6 +265,8 @@ class PPCAMix:
         Components with equal state sizes on an unsharded dataset take the
         single-pass fused path (ops/mix_fused.py); otherwise the
         reference-shaped per-component loop runs."""
+        if dataset.is_empty():
+            raise ValueError("cannot iterate on an empty dataset")
         sizes = {m.state_size for m in self._models}
         if len(sizes) == 1:
             return self._iterate_fused(dataset, prior)
@@ -408,11 +410,12 @@ class InferredMaskedMix:
 
     def extrapolated(self, mix: PPCAMix, dataset: Dataset) -> Dataset:
         """(`mix.rs:407-414`)"""
+        n = len(dataset)
         post = jnp.exp(self._log_post)
         with _precision():
             out = 0.0
             for i, sm in enumerate(self._component_smoothed()):
-                extr = jnp.where(dataset.mask, dataset.data, sm)
+                extr = jnp.where(dataset.mask[:n], dataset.data[:n], sm)
                 out = out + post[:, i : i + 1] * extr
         return Dataset.unmasked(out)
 
@@ -450,10 +453,11 @@ class InferredMaskedMix:
         ``smoothed_covariance`` with extrapolated spreads (`mix.rs:464-477`)."""
         from .ppca import _smoothed_cov_full_jit
 
+        n = len(dataset)
         post = jnp.exp(self._log_post)
         sms = self._component_smoothed()
         with _precision():
-            extrs = [jnp.where(dataset.mask, dataset.data, sm) for sm in sms]
+            extrs = [jnp.where(dataset.mask[:n], dataset.data[:n], sm) for sm in sms]
             mean = sum(post[:, i : i + 1] * ex for i, ex in enumerate(extrs))
             total = 0.0
             for i, (inf, m) in enumerate(zip(self._inferred, self._mix._models)):
@@ -466,15 +470,17 @@ class InferredMaskedMix:
         """(`mix.rs:485-501`)"""
         from .ppca import _extrapolated_cov_diag_jit
 
+        n = len(dataset)
         post = jnp.exp(self._log_post)
         sms = self._component_smoothed()
         with _precision():
-            extrs = [jnp.where(dataset.mask, dataset.data, sm) for sm in sms]
+            extrs = [jnp.where(dataset.mask[:n], dataset.data[:n], sm) for sm in sms]
             mean = sum(post[:, i : i + 1] * ex for i, ex in enumerate(extrs))
             total = 0.0
             for i, (inf, m) in enumerate(zip(self._inferred, self._mix._models)):
                 diag = _extrapolated_cov_diag_jit(
-                    m._transform, m._isotropic_noise, inf._covariances, dataset.mask
+                    m._transform, m._isotropic_noise, inf._covariances,
+                    dataset.mask[:n],
                 )
                 total = total + post[:, i : i + 1] * (diag + (extrs[i] - mean) ** 2)
         return Dataset.unmasked(total)

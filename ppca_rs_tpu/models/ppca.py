@@ -495,6 +495,10 @@ class PPCAModel:
     def _iterate_with_llk(self, dataset: Dataset, prior: Optional[Prior]) -> Tuple["PPCAModel", float]:
         """Fused EM step: returns (new model, llk of *this* model on the
         dataset) computed in the same pass over the data."""
+        if dataset.is_empty():
+            # the reference panics with expect("non-empty dataset")
+            # (ppca_model.rs:358); raise instead of returning a NaN model.
+            raise ValueError("cannot iterate on an empty dataset")
         dtype = self._transform.dtype
         if prior is None:
             prior = Prior()
@@ -515,6 +519,13 @@ class PPCAModel:
         log-probability function (`ppca_model.rs:395-425`)."""
         if self.state_size == 0:
             return self
+        if self.state_size > self.output_size:
+            # SVD with V := I is shape-inconsistent here; the reference
+            # panics in recompose() (ppca_model.rs:412).
+            raise ValueError(
+                "to_canonical requires state_size <= output_size "
+                f"(got {self.state_size} > {self.output_size})"
+            )
         with _precision():
             new_C = _to_canonical_jit(self._transform)
         return PPCAModel._from_params(new_C, self._mean, self._isotropic_noise)
@@ -554,9 +565,10 @@ class InferredMasked:
     def extrapolated(self, model: PPCAModel, dataset: Dataset) -> Dataset:
         """Observed values kept, missing filled from the posterior
         (`ppca_model.rs:460-463`)."""
+        n = len(dataset)
         with _precision():
             smoothed = _smoothed_from_states_jit(model._transform, model._mean, self._states)
-            out = jnp.where(dataset.mask, dataset.data, smoothed)
+            out = jnp.where(dataset.mask[:n], dataset.data[:n], smoothed)
         return Dataset.unmasked(out)
 
     def smoothed_covariances(self, model: PPCAModel) -> List[np.ndarray]:
@@ -577,7 +589,8 @@ class InferredMasked:
         (`ppca_model.rs:517-534`)."""
         with _precision():
             full = _extrapolated_cov_full_jit(
-                model._transform, model._isotropic_noise, self._covariances, dataset.mask
+                model._transform, model._isotropic_noise, self._covariances,
+                dataset.mask[: len(dataset)],
             )
         return list(np.asarray(full))
 
@@ -586,7 +599,8 @@ class InferredMasked:
         (`ppca_model.rs:542-577`)."""
         with _precision():
             diag = _extrapolated_cov_diag_jit(
-                model._transform, model._isotropic_noise, self._covariances, dataset.mask
+                model._transform, model._isotropic_noise, self._covariances,
+                dataset.mask[: len(dataset)],
             )
         return Dataset.unmasked(diag)
 

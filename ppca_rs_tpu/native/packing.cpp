@@ -58,18 +58,16 @@ void ppca_mask_non_finite_f64(const double* in, double* filled, bool* mask,
 }
 
 // Scatter long-format triplets into a dense row-major (n_samples, n_dims)
-// array (pre-filled with NaN by the caller).  Rows are disjoint per thread
-// only if the input is grouped by sample; for arbitrary order we accept
-// last-writer-wins per element, which matches numpy fancy-assignment
-// semantics for duplicate (sample, dim) pairs.
+// array (pre-filled with NaN by the caller).  Sequential on purpose:
+// duplicate (sample, dim) pairs must resolve deterministically last-wins
+// (matching numpy fancy assignment); parallel writes to the same element
+// would be a data race.  The pass is memory-bound either way.
 void ppca_scatter_long_f64(const int64_t* sample_idx, const int64_t* dim_idx,
                            const double* values, int64_t n, double* out,
                            int64_t n_dims) {
-  parallel_for(n, 1 << 16, [&](int64_t lo, int64_t hi) {
-    for (int64_t i = lo; i < hi; ++i) {
-      out[sample_idx[i] * n_dims + dim_idx[i]] = values[i];
-    }
-  });
+  for (int64_t i = 0; i < n; ++i) {
+    out[sample_idx[i] * n_dims + dim_idx[i]] = values[i];
+  }
 }
 
 }  // extern "C"

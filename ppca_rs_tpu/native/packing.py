@@ -87,8 +87,8 @@ def mask_non_finite(arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     vectorized passes.
     """
     arr = np.ascontiguousarray(arr, dtype=np.float64)
-    lib = _get_lib()
-    if lib is not None and arr.size >= 1 << 16:
+    lib = _get_lib() if arr.size >= 1 << 16 else None
+    if lib is not None:
         filled = np.empty_like(arr)
         mask = np.empty(arr.shape, dtype=np.bool_)
         lib.ppca_mask_non_finite_f64(
@@ -114,9 +114,8 @@ def scatter_long_to_dense(
     dim_idx = np.ascontiguousarray(dim_idx, dtype=np.int64)
     values = np.ascontiguousarray(values, dtype=np.float64)
     out = np.full((n_samples, n_dims), np.nan, dtype=np.float64)
-    lib = _get_lib()
-    if lib is not None and values.size >= 1 << 16:
-        flat_idx = None  # computed natively
+    lib = _get_lib() if values.size >= 1 << 16 else None
+    if lib is not None:
         lib.ppca_scatter_long_f64(
             sample_idx.ctypes.data, dim_idx.ctypes.data, values.ctypes.data,
             values.size, out.ctypes.data, n_dims,

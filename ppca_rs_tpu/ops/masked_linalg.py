@@ -302,9 +302,8 @@ class EMStats(NamedTuple):
     Sharding discipline: ``cross``, ``S``, ``total_dev``, ``totals`` are
     indexed by (local) D and stay model-sharded; ``square_error``, ``dev_sq``
     are built from model-*local* terms and must be psum-reduced over BOTH mesh
-    axes; ``llk`` and ``n_obs`` are built from model-reduced terms, so they
-    are already model-replicated and must be psum-reduced over the data axis
-    only.
+    axes; ``llk`` is built from model-reduced terms, so it is already
+    model-replicated and must be psum-reduced over the data axis only.
     """
 
     cross: jax.Array         # (D_loc, k)   sum w r s^T        (ppca_model.rs:281-293)
@@ -314,7 +313,6 @@ class EMStats(NamedTuple):
     total_dev: jax.Array     # (D_loc,)     sum w dev          (ppca_model.rs:347)
     totals: jax.Array        # (D_loc,)     sum w m            (ppca_model.rs:348)
     llk: jax.Array           # scalar       weighted llk of the *current* model
-    n_obs: jax.Array         # scalar       sum w |m| (model-replicated twin of totals.sum())
 
 
 def em_stats(
@@ -354,10 +352,9 @@ def em_stats(
             total_dev = w @ dev
             totals = w @ mask_f
             llk = jnp.sum(w * llk_b)
-            n_obs = jnp.sum(w * dob)
             return (
                 (acc[0] + cross, acc[1] + S),
-                (square_error, dev_sq, total_dev, totals, llk, n_obs),
+                (square_error, dev_sq, total_dev, totals, llk),
             )
         post = block_posterior(C, CC, mean, sigma, datab, mask_f, axis_model)
         Sigma = block_covariances(post, sigma)
@@ -377,11 +374,10 @@ def em_stats(
         totals = w @ mask_f
 
         llk = jnp.sum(w * block_llk(post, sigma, k, axis_model))
-        n_obs = jnp.sum(w * post.d_obs)
 
         return (
             (acc[0] + cross, acc[1] + S),
-            (square_error, dev_sq, total_dev, totals, llk, n_obs),
+            (square_error, dev_sq, total_dev, totals, llk),
         )
 
     # The large per-D accumulators are carried through the scan (sequential
@@ -391,10 +387,10 @@ def em_stats(
     # samples in f32.
     zero = (jnp.zeros_like(C), jnp.zeros((C.shape[0], k * k), dtype))
     (cross, S), small = lax.scan(body, zero, (data3, mask3, w2))
-    square_error, dev_sq, total_dev, totals, llk, n_obs = (
+    square_error, dev_sq, total_dev, totals, llk = (
         jnp.sum(x, axis=0) for x in small
     )
-    return EMStats(cross, S, square_error, dev_sq, total_dev, totals, llk, n_obs)
+    return EMStats(cross, S, square_error, dev_sq, total_dev, totals, llk)
 
 
 def em_finalize(

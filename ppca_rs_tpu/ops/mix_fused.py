@@ -57,7 +57,6 @@ class MixEMStats(NamedTuple):
                              #       component weight normalization, mix.rs:310-323:
                              #       priors act relative to max-1-scaled weights)
     llk: jax.Array           # scalar mixture llk of the current parameters
-    n_obs: jax.Array         # (M,)  sum_n w_n post_{n,m} |m_n|
 
 
 def _block_mix(Cs, CCs, means, sigmas, log_weights, datab, mask_f, w,
@@ -128,10 +127,9 @@ def _block_mix(Cs, CCs, means, sigmas, log_weights, datab, mask_f, w,
     square_error = jnp.sum(resp * sq_b, axis=-1)
     resp_sum = jnp.sum(resp, axis=-1)
     resp_max = jnp.max(resp, axis=-1)
-    n_obs = jnp.sum(resp * d_obs[None, :], axis=-1)
 
     return MixEMStats(cross, S, square_error, dev_sq, total_dev, totals,
-                      resp_sum, resp_max, llk_mix, n_obs)
+                      resp_sum, resp_max, llk_mix)
 
 
 def mix_em_stats(Cs, means, sigmas, log_weights, data, mask, weights, *,
@@ -151,18 +149,18 @@ def mix_em_stats(Cs, means, sigmas, log_weights, data, mask, weights, *,
                          datab, maskb.astype(dtype), w, use_kernel, axis_model)
         big = (acc[0] + new.cross, acc[1] + new.S)
         small = (new.square_error, new.dev_sq, new.total_dev, new.totals,
-                 new.resp_sum, new.resp_max, new.llk, new.n_obs)
+                 new.resp_sum, new.resp_max, new.llk)
         return big, small
 
     zero = (jnp.zeros((M, D_loc, k), dtype), jnp.zeros((M, D_loc, k * k), dtype))
     (cross, S), small = lax.scan(body, zero, (data3, mask3, w2))
-    (square_error, dev_sq, total_dev, totals, resp_sum, llk, n_obs) = (
+    (square_error, dev_sq, total_dev, totals, resp_sum, llk) = (
         jnp.sum(x, axis=0)
-        for x in (small[0], small[1], small[2], small[3], small[4], small[6], small[7])
+        for x in (small[0], small[1], small[2], small[3], small[4], small[6])
     )
     resp_max = jnp.max(small[5], axis=0)
     return MixEMStats(cross, S, square_error, dev_sq, total_dev, totals,
-                      resp_sum, resp_max, llk, n_obs)
+                      resp_sum, resp_max, llk)
 
 
 def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
@@ -180,8 +178,7 @@ def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
     def finalize_one(C, mean, sigma, cross, S, square_error, dev_sq,
                      total_dev, totals, c):
         st = ml.EMStats(cross * c, S * c, square_error * c, dev_sq * c,
-                        total_dev * c, totals * c,
-                        jnp.zeros((), C.dtype), jnp.zeros((), C.dtype))
+                        total_dev * c, totals * c, jnp.zeros((), C.dtype))
         return ml.em_finalize(
             C, mean, sigma, st,
             transformation_precision=transformation_precision,

@@ -63,6 +63,7 @@ def iterate_streamed(
     model: PPCAModel,
     chunks: Sequence[ChunkLike],
     prior: Optional[Prior] = None,
+    _n_out: Optional[list] = None,
 ):
     """One EM iteration over a stream of chunks.  Returns
     ``(new_model, llk)`` where llk is the total log-likelihood of ``model``
@@ -74,10 +75,12 @@ def iterate_streamed(
     prior = prior if prior is not None else Prior()
     tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
 
+    n_samples = 0
     total = None
     with _precision():
         for chunk in chunks:
             ds = _resolve(chunk)
+            n_samples += len(ds)
             stats = _stats_jit(
                 model._transform, model._mean, model._isotropic_noise,
                 ds.data, ds.mask, ds.weights,
@@ -95,6 +98,8 @@ def iterate_streamed(
             model._transform, model._mean, model._isotropic_noise,
             total, tprec, noise_prior, mean_prior,
         )
+    if _n_out is not None:
+        _n_out.append(n_samples)
     return PPCAModel._from_params(new_C, new_mean, new_sigma), float(total.llk)
 
 
@@ -106,9 +111,6 @@ class StreamingPPCATrainer:
         self.chunks = list(chunks)
         if not self.chunks:
             raise ValueError("need at least one chunk")
-
-    def _n_samples(self) -> int:
-        return sum(len(_resolve(c)) for c in self.chunks)
 
     def train(
         self,
@@ -124,10 +126,13 @@ class StreamingPPCATrainer:
     ) -> PPCAModel:
         first = _resolve(self.chunks[0])
         model = start if start is not None else PPCAModel.init(state_size, first, key=key)
-        n = self._n_samples()
+        del first
+        n = None  # counted during the first streamed pass — no extra I/O
 
         for idx in range(n_iters):
-            new_model, llk = iterate_streamed(model, self.chunks, prior)
+            n_out: list = []
+            new_model, llk = iterate_streamed(model, self.chunks, prior, _n_out=n_out)
+            n = n if n is not None else n_out[0]
             if not quiet or callback is not None:
                 metrics = TrainMetrics.compute(llk, model.n_parameters, n)
                 if callback is not None:

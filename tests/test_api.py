@@ -131,3 +131,25 @@ def test_posterior_sampler(rng):
     sm = inf.smoothed(model).numpy()
     resid = np.mean((draws.numpy() - sm) ** 2)
     assert resid < 1.0
+
+
+def test_empty_dataset_iterate_raises():
+    """Regression: empty-dataset EM returned a silent NaN model (the
+    reference panics with 'non-empty dataset')."""
+    ds = Dataset(np.zeros((0, 4)))
+    model = PPCAModel(isotropic_noise=1.0, transform=np.zeros((4, 2)), mean=np.zeros(4))
+    with pytest.raises(ValueError):
+        model.iterate(ds)
+    mix = PPCAMix([model], np.zeros(1))
+    with pytest.raises(ValueError):
+        mix.iterate(ds)
+
+
+def test_to_canonical_overcomplete_raises():
+    """Regression: state_size > output_size silently shrank the transform
+    (the reference panics in SVD recompose)."""
+    model = PPCAModel(
+        isotropic_noise=1.0, transform=np.random.randn(2, 5), mean=np.zeros(2)
+    )
+    with pytest.raises(ValueError):
+        model.to_canonical()

@@ -109,3 +109,31 @@ def test_sharded_dataset_roundtrips(rng):
     assert sds.padded_len == 104
     np.testing.assert_allclose(sds.numpy(), ds.numpy())
     np.testing.assert_allclose(sds.weights_numpy(), ds.weights_numpy())
+
+
+def test_padded_dataset_readouts(rng):
+    """extrapolated/CI readouts on padded sharded datasets (regression: these
+    mixed trimmed posteriors with untrimmed padded masks)."""
+    model, ds = make_data(rng, n=101, d=8, k=3)
+    mesh = make_mesh(data=8, model=1)
+    sds = shard_dataset(ds, mesh)
+    assert sds.padded_len != len(sds)
+
+    inf = model.infer(sds)
+    extr = inf.extrapolated(model, sds)
+    assert extr.numpy().shape == (101, 8)
+    ci = inf.extrapolated_covariances_diagonal(model, sds)
+    assert ci.numpy().shape == (101, 8)
+    full = inf.extrapolated_covariances(model, sds)
+    assert len(full) == 101
+
+    ref_inf = model.infer(ds)
+    np.testing.assert_allclose(
+        extr.numpy(), ref_inf.extrapolated(model, ds).numpy(), rtol=1e-8
+    )
+
+    # mixture variants over the padded dataset
+    mix = PPCAMix([model, model], np.zeros(2))
+    minf = mix.infer(sds)
+    assert minf.extrapolated(mix, sds).numpy().shape == (101, 8)
+    assert minf.extrapolated_covariances_diagonal(mix, sds).numpy().shape == (101, 8)
