@@ -70,10 +70,11 @@ class Dataset:
         reduction)."""
         data = jnp.asarray(data)
         mask = jnp.asarray(mask, dtype=bool)
+        wdtype = jnp.promote_types(data.dtype, jnp.float32)  # never bf16 weights
         if weights is None:
-            weights = jnp.ones((data.shape[0],), dtype=data.dtype)
+            weights = jnp.ones((data.shape[0],), dtype=wdtype)
         else:
-            weights = jnp.asarray(weights, dtype=data.dtype)
+            weights = jnp.asarray(weights, dtype=wdtype)
         return cls(_parts=(data, mask, weights, n_real))
 
     @classmethod
@@ -82,10 +83,18 @@ class Dataset:
         data = jnp.asarray(data)
         return cls.from_parts(data, jnp.ones(data.shape, dtype=bool), weights)
 
+    def astype(self, dtype) -> "Dataset":
+        """Cast the value storage (e.g. to jnp.bfloat16 to halve HBM per
+        sample — all math still runs in f32; see ops.masked_linalg
+        compute_dtype).  Mask and weights are unchanged."""
+        return Dataset.from_parts(
+            self.data.astype(dtype), self.mask, self.weights, n_real=self._n_real
+        )
+
     def with_weights(self, weights) -> "Dataset":
         """Same data, new weights — the cheap reweighting hook the mixture EM
         uses (`dataset.rs:169-176`; data arrays are shared, not copied)."""
-        w = jnp.asarray(weights, dtype=self.data.dtype)
+        w = jnp.asarray(weights, dtype=self.weights.dtype)
         if w.shape[0] != self.padded_len:
             if w.shape[0] != len(self):
                 raise ValueError("weights length must match number of samples")

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .masked_linalg import LN_2PI, _pad_blocks, _psum
+from .masked_linalg import LN_2PI, _pad_blocks, _psum, compute_dtype
 
 
 class DensePosterior(NamedTuple):
@@ -118,7 +118,7 @@ def em_stats(C, mean, sigma, data, weights, *, block_size: int,
     """Fused dense EM statistics, blocked over N for bounded temporaries."""
     n, D_loc = data.shape
     k = C.shape[1]
-    dtype = data.dtype
+    dtype = compute_dtype(data.dtype, C.dtype)
     sigma2 = sigma * sigma
     post = dense_posterior(C, sigma, axis_model)
     d_obs = _psum(jnp.asarray(D_loc, dtype), axis_model)
@@ -127,6 +127,8 @@ def em_stats(C, mean, sigma, data, weights, *, block_size: int,
 
     def body(acc, xs):
         datab, w = xs
+        datab = datab.astype(dtype)
+        w = w.astype(dtype)
         R = datab - mean
         b = _psum(R @ C, axis_model)
         s = b @ post.Minv

@@ -59,6 +59,14 @@ from jax.scipy.linalg import cho_solve
 LN_2PI = 1.8378770664093453
 
 
+def compute_dtype(storage_dtype, model_dtype=jnp.float32):
+    """Storage may be bf16 (halves HBM per sample); all math runs in at least
+    f32 (and at the model's dtype when that is wider, e.g. f64 on CPU) —
+    blocks are upcast as they enter the scan body, so accumulators,
+    posteriors and statistics keep full precision."""
+    return jnp.promote_types(jnp.promote_types(storage_dtype, jnp.float32), model_dtype)
+
+
 def _psum(x, axis_name: Optional[str]):
     return lax.psum(x, axis_name) if axis_name is not None else x
 
@@ -205,13 +213,15 @@ def llks(
     """
     n = data.shape[0]
     k = C.shape[1]
+    cdtype = compute_dtype(data.dtype, C.dtype)
     CC = outer_flat(C)
-    use_kernel = _use_kernel(k, block_size, data.dtype, axis_model)
+    use_kernel = _use_kernel(k, block_size, cdtype, axis_model)
     _, (data3, mask3) = _pad_blocks(n, block_size, data, mask)
 
     def body(_, xs):
         datab, maskb = xs
-        mf = maskb.astype(data.dtype)
+        datab = datab.astype(cdtype)
+        mf = maskb.astype(cdtype)
         if use_kernel:
             from . import kernels
 
@@ -239,13 +249,15 @@ def infer(
     (`ppca_model.rs:221-227`). Returns ``(states (N,k), covariances (N,k,k))``.
     """
     n = data.shape[0]
+    cdtype = compute_dtype(data.dtype, C.dtype)
     CC = outer_flat(C)
-    use_kernel = _use_kernel(C.shape[1], block_size, data.dtype, axis_model)
+    use_kernel = _use_kernel(C.shape[1], block_size, cdtype, axis_model)
     _, (data3, mask3) = _pad_blocks(n, block_size, data, mask)
 
     def body(_, xs):
         datab, maskb = xs
-        mf = maskb.astype(data.dtype)
+        datab = datab.astype(cdtype)
+        mf = maskb.astype(cdtype)
         if use_kernel:
             s_t, SM3, _, _, _, _ = _kernel_block(C, CC, mean, sigma, datab, mf)
             states = s_t.T
@@ -275,13 +287,15 @@ def states(
     covariances."""
     n = data.shape[0]
     k = C.shape[1]
+    cdtype = compute_dtype(data.dtype, C.dtype)
     CC = outer_flat(C)
-    use_kernel = _use_kernel(k, block_size, data.dtype, axis_model)
+    use_kernel = _use_kernel(k, block_size, cdtype, axis_model)
     _, (data3, mask3) = _pad_blocks(n, block_size, data, mask)
 
     def body(_, xs):
         datab, maskb = xs
-        mf = maskb.astype(data.dtype)
+        datab = datab.astype(cdtype)
+        mf = maskb.astype(cdtype)
         if use_kernel:
             from . import kernels
 
@@ -333,13 +347,15 @@ def em_stats(
     """
     n, _ = data.shape
     k = C.shape[1]
-    dtype = data.dtype
+    dtype = compute_dtype(data.dtype, C.dtype)
     CC = outer_flat(C)
     use_kernel = _use_kernel(k, block_size, dtype, axis_model)
     _, (data3, mask3, w2) = _pad_blocks(n, block_size, data, mask, weights)
 
     def body(acc, xs):
         datab, maskb, w = xs
+        datab = datab.astype(dtype)
+        w = w.astype(dtype)
         mask_f = maskb.astype(dtype)
         if use_kernel:
             s_t, SM3, llk_b, sq_b, R, dob = _kernel_block(C, CC, mean, sigma, datab, mask_f)

@@ -138,7 +138,7 @@ def mix_em_stats(Cs, means, sigmas, log_weights, data, mask, weights, *,
     responsibilities, the mixture llk, and the new-weight numerators."""
     n, _ = data.shape
     M, D_loc, k = Cs.shape
-    dtype = data.dtype
+    dtype = ml.compute_dtype(data.dtype, Cs.dtype)
     CCs = (Cs[:, :, :, None] * Cs[:, :, None, :]).reshape(M, D_loc, k * k)
     use_kernel = ml._use_kernel(k, block_size, dtype, axis_model)
     _, (data3, mask3, w2) = _pad_blocks(n, block_size, data, mask, weights)
@@ -146,7 +146,8 @@ def mix_em_stats(Cs, means, sigmas, log_weights, data, mask, weights, *,
     def body(acc, xs):
         datab, maskb, w = xs
         new = _block_mix(Cs, CCs, means, sigmas, log_weights,
-                         datab, maskb.astype(dtype), w, use_kernel, axis_model)
+                         datab.astype(dtype), maskb.astype(dtype),
+                         w.astype(dtype), use_kernel, axis_model)
         big = (acc[0] + new.cross, acc[1] + new.S)
         small = (new.square_error, new.dev_sq, new.total_dev, new.totals,
                  new.resp_sum, new.resp_max, new.llk)

@@ -153,3 +153,26 @@ def test_to_canonical_overcomplete_raises():
     )
     with pytest.raises(ValueError):
         model.to_canonical()
+
+
+def test_bf16_storage(rng):
+    """bf16 value storage halves HBM per sample; math still runs in f32 and
+    results stay within bf16-input tolerance of the f32 pipeline."""
+    import jax.numpy as jnp
+
+    data = rng.normal(size=(300, 16))
+    data[rng.random(data.shape) < 0.3] = np.nan
+    ds = Dataset(data)
+    ds16 = ds.astype(jnp.bfloat16)
+    assert ds16.dtype == jnp.bfloat16
+    assert ds16.weights.dtype != jnp.bfloat16
+
+    model = PPCAModel(
+        isotropic_noise=0.6, transform=rng.normal(size=(16, 3)), mean=rng.normal(size=16)
+    )
+    llk32, llk16 = model.llk(ds), model.llk(ds16)
+    assert np.isclose(llk16, llk32, rtol=2e-2)
+    m32 = model.iterate(ds)
+    m16 = model.iterate(ds16)
+    np.testing.assert_allclose(m16.transform, m32.transform, rtol=0.1, atol=0.05)
+    assert np.isclose(m16.isotropic_noise, m32.isotropic_noise, rtol=2e-2)
