@@ -291,12 +291,14 @@ class PPCAModel:
             raise ValueError("dataset must not be empty")
         output_size = dataset.output_size()
         key = ensure_key(key)
-        C = jax.random.normal(key, (output_size, state_size), dtype=dataset.dtype)
+        # parameters live in compute precision even for bf16-storage datasets
+        dtype = jnp.promote_types(dataset.dtype, jnp.float32)
+        C = jax.random.normal(key, (output_size, state_size), dtype=dtype)
         empty = dataset.empty_dimensions()
         if empty:
             C = C.at[jnp.asarray(empty, dtype=jnp.int32)].set(0.0)
-        mean = jnp.zeros((output_size,), dtype=dataset.dtype)
-        return PPCAModel._from_params(C, mean, jnp.asarray(1.0, dtype=dataset.dtype))
+        mean = jnp.zeros((output_size,), dtype=dtype)
+        return PPCAModel._from_params(C, mean, jnp.asarray(1.0, dtype=dtype))
 
     # ------------------------------------------------------------------ #
     # accessors (ppca_model.rs:73-121; exposed as properties like the

@@ -401,7 +401,7 @@ def em_stats(
     # terms); the scalar and (D,)-vector statistics are stacked per block and
     # tree-reduced by jnp.sum, keeping the dataset llk accurate at 10M+
     # samples in f32.
-    zero = (jnp.zeros_like(C), jnp.zeros((C.shape[0], k * k), dtype))
+    zero = (jnp.zeros(C.shape, dtype), jnp.zeros((C.shape[0], k * k), dtype))
     (cross, S), small = lax.scan(body, zero, (data3, mask3, w2))
     square_error, dev_sq, total_dev, totals, llk = (
         jnp.sum(x, axis=0) for x in small
