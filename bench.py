@@ -70,6 +70,9 @@ def main():
     ap.add_argument("--k", type=int, default=64)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--missing", type=float, default=0.5)
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
+                    help="value-storage dtype (bfloat16 halves HBM per sample "
+                         "and is ~8%% faster; math always runs in f32)")
     args = ap.parse_args()
 
     import jax
@@ -100,6 +103,8 @@ def main():
         return jnp.where(mask, data, 0.0), mask
 
     data, mask = gen(k2, k3, C_true)
+    if args.dtype == "bfloat16":
+        data = data.astype(jnp.bfloat16)
     dataset = Dataset.from_parts(data, mask)
     if n_chips > 1:
         mesh = make_mesh()
@@ -140,7 +145,7 @@ def main():
                 "value": round(samples_per_sec, 1),
                 "unit": (
                     f"samples/s/chip (fused EM iter incl. llk, D={D}, k={k}, "
-                    f"N={N}, {int(args.missing * 100)}% missing, f32, {n_chips} chip(s))"
+                    f"N={N}, {int(args.missing * 100)}% missing, {args.dtype} storage, {n_chips} chip(s))"
                 ),
                 "vs_baseline": round(samples_per_sec * n_chips / baseline, 3),
             }
