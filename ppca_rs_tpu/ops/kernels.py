@@ -280,6 +280,27 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
     k, _, B = G3.shape
     if B % LANE != 0:
         raise ValueError(f"batch {B} must be a multiple of {LANE}")
+
+    # The manual G DMA slices the (k, k, B) buffer, and Mosaic requires the
+    # sublane dimension aligned to 8.  Zero-pad k to a multiple of 8: padded
+    # dims make M block-diagonal with a sigma^2 I block, and the algebra
+    # absorbs it exactly — logdet gains (k8-k) log sigma^2 which cancels
+    # against the -k8 log sigma^2 of the observed-dim term, padded states are
+    # 0, and the trace identity's extra sigma^2 (1 - sigma^2/sigma^2) is 0.
+    k8 = -(-k // 8) * 8
+    if k8 != k:
+        pad = k8 - k
+        G3 = jnp.pad(G3, ((0, pad), (0, pad), (0, 0)))
+        b_t = jnp.pad(b_t, ((0, pad), (0, 0)))
+        out = spd_estep(sigma, G3, b_t, rnorm, d_obs, want=want, interpret=interpret)
+        if want == "llk":
+            return out
+        if want == "states":
+            s_t, llk = out
+            return s_t[:k], llk
+        s_t, SM3, llk, sq = out
+        return s_t[:k], SM3[:k, :k], llk, sq
+
     dtype = G3.dtype
     sigma = jnp.asarray(sigma, dtype)
     sigma2 = jnp.broadcast_to((sigma * sigma).reshape(1, -1), (1, B))
