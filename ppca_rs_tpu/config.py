@@ -19,13 +19,14 @@ class Config:
     #: temporaries.  Must be a power of two.
     block_size: int = 8192
 
-    #: jax.lax matmul precision for the hot contractions ("highest" = full f32
-    #: on the MXU via multiple passes; "default" allows bf16 passes).
-    #: Measured on v5e at D=1024/k=64: "default" is ~1.5x faster end-to-end
-    #: with same-model llk/posterior deviations of ~1e-3 relative (within the
-    #: pipeline's overall f32 noise) and indistinguishable EM convergence.
-    #: Set "highest" for maximum fidelity; CPU f64 runs are unaffected.
-    matmul_precision: str = "default"
+    #: jax.lax matmul precision for the hot contractions.  "auto" picks
+    #: "default" (bf16 MXU passes, ~1.5x faster end-to-end, ~1e-3 relative
+    #: llk/posterior deviation — within overall f32 noise) when the output
+    #: dimension is large (>= 512), and full-f32 "highest" below that:
+    #: measured at D=3 the bf16 passes corrupt reported llk values by ~10%
+    #: (EM still converges — the *measurement* is what degrades).  Set
+    #: "default"/"high"/"highest" to force; CPU f64 runs are unaffected.
+    matmul_precision: str = "auto"
 
     #: Use the fused Pallas E-step kernel when running on TPU (falls back to
     #: the pure-XLA path automatically elsewhere or when False).

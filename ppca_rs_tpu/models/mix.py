@@ -313,7 +313,7 @@ class PPCAMix:
                     // (mesh.shape[DATA_AXIS] * max(1, len(self._models))))
             )
         tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
-        with _precision():
+        with _precision(self._output_size):
             new_Cs, new_means, new_sigmas, new_logw, llk = step(
                 Cs, means, sigmas, self._log_weights,
                 dataset.data, dataset.mask, dataset.weights,
@@ -404,7 +404,7 @@ class InferredMaskedMix:
     def smoothed(self, mix: PPCAMix) -> Dataset:
         """Posterior-weighted mixture of component smoothings (`mix.rs:397-404`)."""
         post = jnp.exp(self._log_post)
-        with _precision():
+        with _precision(self._mix.output_size):
             out = sum(post[:, i : i + 1] * sm for i, sm in enumerate(self._component_smoothed()))
         return Dataset.unmasked(out)
 
@@ -412,7 +412,7 @@ class InferredMaskedMix:
         """(`mix.rs:407-414`)"""
         n = len(dataset)
         post = jnp.exp(self._log_post)
-        with _precision():
+        with _precision(self._mix.output_size):
             out = 0.0
             for i, sm in enumerate(self._component_smoothed()):
                 extr = jnp.where(dataset.mask[:n], dataset.data[:n], sm)
@@ -423,7 +423,7 @@ class InferredMaskedMix:
         """Full (D, D) with between-component spread (`mix.rs:422-435`)."""
         post = jnp.exp(self._log_post)
         sms = self._component_smoothed()
-        with _precision():
+        with _precision(self._mix.output_size):
             mean = sum(post[:, i : i + 1] * sm for i, sm in enumerate(sms))
             total = 0.0
             for i, (inf, m) in enumerate(zip(self._inferred, self._mix._models)):
@@ -439,7 +439,7 @@ class InferredMaskedMix:
 
         post = jnp.exp(self._log_post)
         sms = self._component_smoothed()
-        with _precision():
+        with _precision(self._mix.output_size):
             mean = sum(post[:, i : i + 1] * sm for i, sm in enumerate(sms))
             total = 0.0
             for i, (inf, m) in enumerate(zip(self._inferred, self._mix._models)):
@@ -456,7 +456,7 @@ class InferredMaskedMix:
         n = len(dataset)
         post = jnp.exp(self._log_post)
         sms = self._component_smoothed()
-        with _precision():
+        with _precision(self._mix.output_size):
             extrs = [jnp.where(dataset.mask[:n], dataset.data[:n], sm) for sm in sms]
             mean = sum(post[:, i : i + 1] * ex for i, ex in enumerate(extrs))
             total = 0.0
@@ -473,7 +473,7 @@ class InferredMaskedMix:
         n = len(dataset)
         post = jnp.exp(self._log_post)
         sms = self._component_smoothed()
-        with _precision():
+        with _precision(self._mix.output_size):
             extrs = [jnp.where(dataset.mask[:n], dataset.data[:n], sm) for sm in sms]
             mean = sum(post[:, i : i + 1] * ex for i, ex in enumerate(extrs))
             total = 0.0

@@ -46,8 +46,16 @@ def _as_vector(arr, name: str) -> np.ndarray:
     return a
 
 
-def _precision():
-    return jax.default_matmul_precision(config.matmul_precision)
+AUTO_PRECISION_MIN_D = 512
+
+
+def _precision(output_size: int = AUTO_PRECISION_MIN_D):
+    """Matmul-precision context; "auto" resolves by output dimension (see
+    config.matmul_precision)."""
+    p = config.matmul_precision
+    if p == "auto":
+        p = "default" if output_size >= AUTO_PRECISION_MIN_D else "highest"
+    return jax.default_matmul_precision(p)
 
 
 def _impl_and_block(dataset: Dataset):
@@ -385,7 +393,7 @@ class PPCAModel:
         if dataset.is_empty():
             return 0.0
         fns, bs = _impl_and_block(dataset)
-        with _precision():
+        with _precision(self.output_size):
             out = fns["llk"](
                 self._transform, self._mean, self._isotropic_noise,
                 dataset.data, dataset.mask, dataset.weights, bs,
@@ -400,7 +408,7 @@ class PPCAModel:
         """Per-sample llks as a device array over the (possibly padded)
         physical rows — used by the mixture layer to stay on device."""
         fns, bs = _impl_and_block(dataset)
-        with _precision():
+        with _precision(self.output_size):
             return fns["llks"](
                 self._transform, self._mean, self._isotropic_noise,
                 dataset.data, dataset.mask, bs,
@@ -411,7 +419,7 @@ class PPCAModel:
 
     def sample(self, dataset_size: int, mask_prob: float, key=None) -> Dataset:
         key = ensure_key(key)
-        with _precision():
+        with _precision(self.output_size):
             values, observed = _sample_jit(
                 self._transform, self._mean, self._isotropic_noise,
                 int(dataset_size), self.state_size, float(mask_prob), key,
@@ -447,7 +455,7 @@ class PPCAModel:
 
     def _infer_arrays(self, dataset: Dataset):
         fns, bs = _impl_and_block(dataset)
-        with _precision():
+        with _precision(self.output_size):
             states, covs = fns["infer"](
                 self._transform, self._mean, self._isotropic_noise,
                 dataset.data, dataset.mask, bs,
@@ -459,7 +467,7 @@ class PPCAModel:
         """De-noise observed values and fill missing ones
         (`ppca_model.rs:231-244`); preserves dataset weights."""
         fns, bs = _impl_and_block(dataset)
-        with _precision():
+        with _precision(self.output_size):
             smoothed = fns["smooth"](
                 self._transform, self._mean, self._isotropic_noise,
                 dataset.data, dataset.mask, bs,
@@ -471,7 +479,7 @@ class PPCAModel:
         """Fill missing values, keeping observed ones untouched
         (`ppca_model.rs:248-261`); preserves dataset weights."""
         fns, bs = _impl_and_block(dataset)
-        with _precision():
+        with _precision(self.output_size):
             extr = fns["extrapolate"](
                 self._transform, self._mean, self._isotropic_noise,
                 dataset.data, dataset.mask, bs,
@@ -506,7 +514,7 @@ class PPCAModel:
             prior = Prior()
         tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
         fns, bs = _impl_and_block(dataset)
-        with _precision():
+        with _precision(self.output_size):
             new_C, new_mean, new_sigma, llk = fns["em_step"](
                 self._transform, self._mean, self._isotropic_noise,
                 dataset.data, dataset.mask, dataset.weights,
@@ -528,7 +536,7 @@ class PPCAModel:
                 "to_canonical requires state_size <= output_size "
                 f"(got {self.state_size} > {self.output_size})"
             )
-        with _precision():
+        with _precision(self.output_size):
             new_C = _to_canonical_jit(self._transform)
         return PPCAModel._from_params(new_C, self._mean, self._isotropic_noise)
 
@@ -560,7 +568,7 @@ class InferredMasked:
 
     def smoothed(self, model: PPCAModel) -> Dataset:
         """C s + mu per sample (`ppca_model.rs:454-457`)."""
-        with _precision():
+        with _precision(self._model.output_size):
             out = _smoothed_from_states_jit(model._transform, model._mean, self._states)
         return Dataset.unmasked(out)
 
@@ -568,28 +576,28 @@ class InferredMasked:
         """Observed values kept, missing filled from the posterior
         (`ppca_model.rs:460-463`)."""
         n = len(dataset)
-        with _precision():
+        with _precision(self._model.output_size):
             smoothed = _smoothed_from_states_jit(model._transform, model._mean, self._states)
             out = jnp.where(dataset.mask[:n], dataset.data[:n], smoothed)
         return Dataset.unmasked(out)
 
     def smoothed_covariances(self, model: PPCAModel) -> List[np.ndarray]:
         """Full (D, D) smoothed output covariances (`ppca_model.rs:471-477`)."""
-        with _precision():
+        with _precision(self._model.output_size):
             full = _smoothed_cov_full_jit(model._transform, model._isotropic_noise, self._covariances)
         return list(np.asarray(full))
 
     def smoothed_covariances_diagonal(self, model: PPCAModel) -> Dataset:
         """Diagonal-only smoothed covariance via the row-dot trick
         (`ppca_model.rs:485-508`), one matmul on the MXU."""
-        with _precision():
+        with _precision(self._model.output_size):
             diag = _smoothed_cov_diag_jit(model._transform, model._isotropic_noise, self._covariances)
         return Dataset.unmasked(diag)
 
     def extrapolated_covariances(self, model: PPCAModel, dataset: Dataset) -> List[np.ndarray]:
         """Full (D, D) extrapolation covariances, zero at observed dims
         (`ppca_model.rs:517-534`)."""
-        with _precision():
+        with _precision(self._model.output_size):
             full = _extrapolated_cov_full_jit(
                 model._transform, model._isotropic_noise, self._covariances,
                 dataset.mask[: len(dataset)],
@@ -599,7 +607,7 @@ class InferredMasked:
     def extrapolated_covariances_diagonal(self, model: PPCAModel, dataset: Dataset) -> Dataset:
         """Diagonal extrapolation variances, zero at observed dims
         (`ppca_model.rs:542-577`)."""
-        with _precision():
+        with _precision(self._model.output_size):
             diag = _extrapolated_cov_diag_jit(
                 model._transform, model._isotropic_noise, self._covariances,
                 dataset.mask[: len(dataset)],
@@ -629,7 +637,7 @@ class PosteriorSampler:
 
     def sample(self, key=None) -> Dataset:
         key = ensure_key(key)
-        with _precision():
+        with _precision(self._model.output_size):
             out = _posterior_sample_jit(
                 self._model._transform, self._model._mean, self._model._isotropic_noise,
                 self._states, self._chol, key,

@@ -77,7 +77,7 @@ def iterate_streamed(
 
     n_samples = 0
     total = None
-    with _precision():
+    with _precision(model.output_size):
         for chunk in chunks:
             ds = _resolve(chunk)
             n_samples += len(ds)
