@@ -19,13 +19,16 @@ class Config:
     #: temporaries.  Must be a power of two.
     block_size: int = 8192
 
-    #: jax.lax matmul precision for the hot contractions.  "auto" picks
-    #: "default" (bf16 MXU passes, ~1.5x faster end-to-end, ~1e-3 relative
-    #: llk/posterior deviation — within overall f32 noise) when the output
-    #: dimension is large (>= 512), and full-f32 "highest" below that:
-    #: measured at D=3 the bf16 passes corrupt reported llk values by ~10%
-    #: (EM still converges — the *measurement* is what degrades).  Set
-    #: "default"/"high"/"highest" to force; CPU f64 runs are unaffected.
+    #: jax.lax matmul precision for the hot contractions.  "auto" (default)
+    #: picks bf16-pass "default" matmuls (~1.5x faster end-to-end) when the
+    #: output dimension is >= 512 and full-f32 "highest" below.  The error is
+    #: dominated by cancellation in the llk quadratic form near convergence
+    #: (quad = |r|^2 - b^T M^-1 b with a small difference of large terms):
+    #: measured same-model llk deviation vs "highest" is ~1e-2 at D<=200,
+    #: ~2.5e-3 at D=1024 with small noise, ~1e-4 at D=1024 with sigma~1.
+    #: EM *convergence* is unaffected either way (the M-step is a fixed-point
+    #: ratio of weighted sums) — only reported llk/posterior values degrade.
+    #: Set "default"/"high"/"highest" to force; CPU f64 runs are unaffected.
     matmul_precision: str = "auto"
 
     #: Use the fused Pallas E-step kernel when running on TPU (falls back to
