@@ -1,0 +1,75 @@
+"""Randomized parity fuzz: many random shapes/masks/weights/priors through
+the full EM + llk + posterior pipeline vs the brute-force reference formulas
+(tests/reference_impl.py) in f64."""
+
+import numpy as np
+import pytest
+
+import reference_impl as ref
+from ppca_rs_tpu import Dataset, PPCAModel, Prior
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_em_llk_posterior(seed):
+    rng = np.random.default_rng(1000 + seed)
+    n = int(rng.integers(5, 60))
+    d = int(rng.integers(1, 12))
+    k = int(rng.integers(0, min(d, 5) + 1))
+    mask_prob = float(rng.uniform(0.0, 0.7))
+
+    C = rng.normal(size=(d, k)) * rng.uniform(0.3, 3.0)
+    mean = rng.normal(size=d)
+    sigma = float(rng.uniform(0.05, 2.0))
+    data = rng.normal(size=(n, d)) * 2.0 + mean
+    mask = rng.random((n, d)) > mask_prob
+    if n > 3 and rng.random() < 0.5:
+        mask[2] = False                       # all-masked row
+    if d > 2 and rng.random() < 0.5:
+        mask[:, 1] = False                    # empty dimension
+        C = C.copy()
+        C[1] = 0.0
+    weights = rng.random(n) + 0.1
+    data = np.where(mask, data, np.nan)
+
+    model = PPCAModel(isotropic_noise=sigma, transform=C, mean=mean)
+    ds = Dataset(data, weights=weights)
+
+    # llks
+    got = model.llks(ds)
+    want = np.array([
+        ref.llk_one(C, mean, sigma, np.nan_to_num(data[i]), mask[i]) for i in range(n)
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+    # posterior
+    if k > 0:
+        inf = model.infer(ds)
+        for i in range(0, n, max(1, n // 5)):
+            s, cov = ref.infer_one(C, mean, sigma, np.nan_to_num(data[i]), mask[i])
+            np.testing.assert_allclose(inf.states()[i], s, rtol=1e-7, atol=1e-9)
+            np.testing.assert_allclose(inf.covariances_array()[i], cov, rtol=1e-7, atol=1e-9)
+
+    # EM with a random prior combination
+    kwargs = {}
+    prior = Prior()
+    if rng.random() < 0.5:
+        a, b = float(rng.uniform(0.5, 20)), float(rng.uniform(0.5, 20))
+        prior = prior.with_isotropic_noise_prior(a, b)
+        kwargs["noise_prior"] = (a, b)
+    if rng.random() < 0.5:
+        lam = float(rng.uniform(0.0, 2.0))
+        prior = prior.with_transformation_precision(lam)
+        kwargs["transformation_precision"] = lam
+    if rng.random() < 0.5:
+        pm = rng.normal(size=d)
+        pc = np.eye(d) * rng.uniform(0.2, 2.0)
+        prior = prior.with_mean_prior(pm, pc)
+        kwargs["mean_prior"] = (pm, np.linalg.inv(pc))
+
+    new_model = model.iterate_with_prior(ds, prior)
+    want_C, want_mean, want_sigma = ref.em_iterate(
+        C, mean, sigma, np.nan_to_num(data), mask, weights, **kwargs
+    )
+    np.testing.assert_allclose(new_model.transform, want_C, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(new_model.mean, want_mean, rtol=1e-6, atol=1e-8)
+    assert np.isclose(new_model.isotropic_noise, want_sigma, rtol=1e-7)
