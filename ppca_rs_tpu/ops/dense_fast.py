@@ -189,7 +189,9 @@ def em_finalize(C, mean, sigma, stats: DenseEMStats, *,
     else:
         sigma2_new = sq / n_obs
 
-    new_mean = stats.total_dev / stats.w_sum + mean
+    # Mirror the masked path's totals>0 guard: an all-zero-weight dataset
+    # keeps the old mean instead of NaN-ing it.
+    new_mean = jnp.where(stats.w_sum > 0, stats.total_dev / jnp.where(stats.w_sum > 0, stats.w_sum, 1.0), 0.0) + mean
     if mean_prior is not None:
         prior_mean, prior_precision = mean_prior
         if axis_model is not None:

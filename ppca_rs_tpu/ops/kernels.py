@@ -343,7 +343,7 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
         grid=grid,
         in_specs=[
             vec_spec(1),                            # per-lane sigma^2
-            pl.BlockSpec(memory_space=pltpu.ANY),   # G streams by manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),      # G streams by manual DMA
             vec_spec(k),
             vec_spec(1),
             vec_spec(1),

@@ -174,7 +174,12 @@ def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
     # The reference runs each component's inner EM with weights scaled to
     # max 1 (`mix.rs:310-323`); prior strengths are relative to that scale,
     # so the (weight-linear) statistics are rescaled the same way here.
-    inv_scale = 1.0 / stats.resp_max
+    # A dead component (zero responsibility everywhere, possible via f32
+    # underflow when another component dominates by >~103 nats) has
+    # resp_max == 0: guard the reciprocal and keep its old parameters below
+    # instead of propagating inf/NaN through the whole mixture.
+    alive = stats.resp_max > 0
+    inv_scale = jnp.where(alive, 1.0 / jnp.where(alive, stats.resp_max, 1.0), 0.0)
 
     def finalize_one(C, mean, sigma, cross, S, square_error, dev_sq,
                      total_dev, totals, c):
@@ -204,6 +209,12 @@ def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
         new_Cs = jnp.stack([o[0] for o in outs])
         new_means = jnp.stack([o[1] for o in outs])
         new_sigmas = jnp.stack([o[2] for o in outs])
+
+    # Dead components keep their previous parameters (the finalize math on
+    # all-zero statistics yields 0/0); their new mixture weight is exp(-inf)=0.
+    new_Cs = jnp.where(alive[:, None, None], new_Cs, Cs)
+    new_means = jnp.where(alive[:, None], new_means, means)
+    new_sigmas = jnp.where(alive, new_sigmas, sigmas)
 
     new_log_weights = jnp.log(stats.resp_sum)
     new_log_weights = new_log_weights - jax.scipy.special.logsumexp(new_log_weights)

@@ -84,6 +84,49 @@ def test_fused_is_default_for_equal_sizes(rng):
         prev = llk
 
 
+def test_dead_component_keeps_params(rng):
+    """A component dominated everywhere gets responsibility exactly 0
+    (exp underflow); the fused EM must keep its old parameters and the
+    mixture must stay finite, instead of NaN-ing via 1/resp_max=inf."""
+    d, k, n = 4, 2, 50
+    alive = PPCAModel(
+        isotropic_noise=0.4, transform=rng.normal(size=(d, k)), mean=np.zeros(d)
+    )
+    # mean ~1e6 away from all the data => per-sample llk gap >> 745 nats,
+    # so exp(joint - lse) underflows to exactly 0 for this component.
+    dead = PPCAModel(
+        isotropic_noise=0.4,
+        transform=rng.normal(size=(d, k)),
+        mean=np.full(d, 1e6),
+    )
+    mix = PPCAMix([alive, dead], np.zeros(2))
+    data = rng.normal(size=(n, d))
+    data[rng.random((n, d)) < 0.2] = np.nan
+    ds = Dataset(data)
+
+    new = mix.iterate(ds)
+    for m in new.models:
+        assert np.isfinite(m.transform).all()
+        assert np.isfinite(m.mean).all()
+        assert np.isfinite(m.isotropic_noise)
+    # dead component's parameters are untouched
+    np.testing.assert_array_equal(new.models[1].transform, dead.transform)
+    np.testing.assert_array_equal(new.models[1].mean, dead.mean)
+    assert float(new.models[1].isotropic_noise) == 0.4
+    # its weight collapses to 0 (log weight -inf) and the next llk is finite
+    assert np.exp(new.log_weights[1]) == 0.0
+    assert np.isfinite(new.llk(ds))
+    again = new.iterate(ds)
+    assert np.isfinite(again.llk(ds))
+
+    # with priors active the same guard must hold
+    prior = Prior().with_isotropic_noise_prior(2.0, 2.0).with_transformation_precision(0.1)
+    new_p = mix.iterate_with_prior(ds, prior)
+    for m in new_p.models:
+        assert np.isfinite(m.transform).all()
+        assert np.isfinite(m.isotropic_noise)
+
+
 def test_heterogeneous_falls_back(rng):
     m1 = PPCAModel(isotropic_noise=0.5, transform=rng.normal(size=(5, 1)), mean=np.zeros(5))
     m2 = PPCAModel(isotropic_noise=0.5, transform=rng.normal(size=(5, 3)), mean=np.ones(5))
