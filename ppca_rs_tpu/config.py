@@ -38,6 +38,19 @@ class Config:
     #: Use the native C++ host-side packing extension when available.
     use_native: bool = True
 
+    #: Mask-pattern deduplication: when a dataset has P distinct mask
+    #: patterns with P << N (structured missingness), per-sample
+    #: factorizations collapse to a P-sized table (ops/pattern_dedup.py).
+    use_pattern_dedup: bool = True
+
+    #: Upper bound on P for the dedup path (table memory is P * k^2 and the
+    #: final assembly is a (D, P) contraction).
+    pattern_max: int = 4096
+
+    #: Require P * pattern_min_ratio <= N before switching to the dedup path
+    #: (below that the general masked path wins).
+    pattern_min_ratio: int = 4
+
 
 config = Config()
 

@@ -27,16 +27,56 @@ from .utils.serialization import dump_bytes, load_bytes
 from .native import packing as _packing
 
 
+@jax.jit
+def _row_hashes_jit(mask):
+    """Two independent 32-bit polynomial hashes of each mask row, folded over
+    the packed bytes on-device — so pattern detection ships 8 bytes per row
+    to the host instead of D bits."""
+    pk = jnp.packbits(mask, axis=1).astype(jnp.int32)   # (N, ceil(D/8))
+    m1 = jnp.asarray(-1640531527, jnp.int32)            # 0x9E3779B9
+    m2 = jnp.asarray(-2048144789, jnp.int32)            # 0x85EBCA6B
+    n = pk.shape[0]
+
+    def fold(carry, col):
+        h1, h2 = carry
+        return (h1 * m1 + col, h2 * m2 + col), None
+
+    init = (jnp.zeros((n,), jnp.int32), jnp.ones((n,), jnp.int32))
+    (h1, h2), _ = jax.lax.scan(fold, init, pk.T)
+    return jnp.stack([h1, h2], axis=1)
+
+
+def _combine_hashes(h: np.ndarray) -> np.ndarray:
+    """(N, 2) int32 -> (N,) uint64 for host-side unique."""
+    u = np.ascontiguousarray(h).view(np.uint32)
+    return (u[:, 0].astype(np.uint64) << np.uint64(32)) | u[:, 1].astype(np.uint64)
+
+
+class _WeightsView(np.ndarray):
+    """numpy view of the dataset weights that is ALSO callable, so both
+    spellings work: ``ds.weights`` (array-style attribute) and
+    ``ds.weights()`` (the reference's method spelling,
+    `src/python_bindings.rs:106-108`)."""
+
+    def __call__(self) -> np.ndarray:
+        return np.asarray(self)
+
+
 class Dataset:
     """A dense masked dataset: values (zero-filled where masked), an
-    observed-mask and per-sample weights, all device arrays."""
+    observed-mask and per-sample weights, all device arrays.
 
-    __slots__ = ("data", "mask", "weights", "_n_real", "_all_observed")
+    ``weights`` is exposed as a callable numpy view (both ``ds.weights`` and
+    the reference's ``ds.weights()`` work); the device-resident weight vector
+    used by the compute paths is ``weights_dev``."""
+
+    __slots__ = ("data", "mask", "weights_dev", "_n_real", "_all_observed", "_patterns")
 
     def __init__(self, ndarray=None, weights=None, *, _parts=None):
         self._all_observed = None
+        self._patterns = None
         if _parts is not None:
-            self.data, self.mask, self.weights = _parts[:3]
+            self.data, self.mask, self.weights_dev = _parts[:3]
             self._n_real = _parts[3] if len(_parts) > 3 else None
             return
         self._n_real = None
@@ -54,9 +94,9 @@ class Dataset:
             w = np.asarray(weights, dtype=np.float64).reshape(-1)
             if w.shape[0] != arr.shape[0]:
                 raise ValueError("weights length must match number of samples")
-            self.weights = jnp.asarray(w, dtype=self.data.dtype)
+            self.weights_dev = jnp.asarray(w, dtype=self.data.dtype)
         else:
-            self.weights = jnp.ones((arr.shape[0],), dtype=self.data.dtype)
+            self.weights_dev = jnp.ones((arr.shape[0],), dtype=self.data.dtype)
 
     # ------------------------------------------------------------------ #
     # constructors
@@ -87,21 +127,25 @@ class Dataset:
         """Cast the value storage (e.g. to jnp.bfloat16 to halve HBM per
         sample — all math still runs in f32; see ops.masked_linalg
         compute_dtype).  Mask and weights are unchanged."""
-        return Dataset.from_parts(
-            self.data.astype(dtype), self.mask, self.weights, n_real=self._n_real
+        new = Dataset.from_parts(
+            self.data.astype(dtype), self.mask, self.weights_dev, n_real=self._n_real
         )
+        new._all_observed = self._all_observed
+        new._patterns = self._patterns
+        return new
 
     def with_weights(self, weights) -> "Dataset":
         """Same data, new weights — the cheap reweighting hook the mixture EM
         uses (`dataset.rs:169-176`; data arrays are shared, not copied)."""
-        w = jnp.asarray(weights, dtype=self.weights.dtype)
+        w = jnp.asarray(weights, dtype=self.weights_dev.dtype)
         if w.shape[0] != self.padded_len:
             if w.shape[0] != len(self):
                 raise ValueError("weights length must match number of samples")
             w = jnp.pad(w, (0, self.padded_len - len(self)))
-            w = jax.device_put(w, self.weights.sharding)
+            w = jax.device_put(w, self.weights_dev.sharding)
         new = Dataset.from_parts(self.data, self.mask, w, n_real=self._n_real)
         new._all_observed = self._all_observed  # same mask, same observedness
+        new._patterns = self._patterns          # same mask, same patterns
         return new
 
     # ------------------------------------------------------------------ #
@@ -111,6 +155,12 @@ class Dataset:
         if self._n_real is not None:
             return self._n_real
         return int(self.data.shape[0])
+
+    @property
+    def weights(self) -> "_WeightsView":
+        """Per-sample weights as numpy (real rows only).  Callable for
+        drop-in parity with the reference's ``weights()`` method."""
+        return self.weights_numpy().view(_WeightsView)
 
     @property
     def padded_len(self) -> int:
@@ -145,6 +195,73 @@ class Dataset:
                 self._all_observed = observed == len(self) * int(self.data.shape[1])
         return self._all_observed
 
+    def pattern_info(self):
+        """Distinct-mask-pattern table for the dedup fast path
+        (ops/pattern_dedup.py), or ``None`` when it would not pay off.
+
+        Returns ``(pattern_idx (N,) int32, patterns (P, D) bool)`` device
+        arrays with ``mask[n] == patterns[pattern_idx[n]]``.
+
+        Detection minimizes host traffic: rows are reduced on-device to a
+        pair of independent 32-bit polynomial hashes over the packed mask
+        bytes (8 bytes per row leave the device instead of D bits), the
+        hashes are uniqued on the host, and the resulting assignment is then
+        verified EXACTLY on-device (``patterns[idx] == mask`` blockwise) — a
+        hash collision can therefore never mis-group rows, it only demotes
+        the dataset to the general path.  For large datasets a prefix sample
+        of hashes is checked first so unstructured (all-rows-distinct) masks
+        only ever pay for the sample.  The result is cached; ``with_weights``
+        and ``astype`` share the cache (same mask)."""
+        from .config import config
+
+        if self._patterns is not None:
+            return self._patterns or None  # False => checked, not profitable
+        n = self.padded_len
+        if (
+            not config.use_pattern_dedup
+            or self.is_empty()
+            or n < 2 * config.pattern_min_ratio
+            or self.all_observed()
+        ):
+            self._patterns = False
+            return None
+        # Sharded datasets keep the general path (pattern tables would need
+        # a cross-shard unique); see parallel/mesh.py.
+        if len(self.mask.sharding.device_set) > 1:
+            self._patterns = False
+            return None
+
+        p_cap = min(config.pattern_max, n // config.pattern_min_ratio)
+        hashes_dev = _row_hashes_jit(self.mask)           # (N,) uint64-as-2xint32
+        sample_cap = 131072
+        if n > sample_cap:
+            # Cheap pre-check on a prefix of the hash vector (256 KB host
+            # transfer): if it already shows too many distinct patterns the
+            # full detection cannot possibly succeed.
+            head = np.asarray(hashes_dev[: sample_cap // 2])
+            if len(np.unique(_combine_hashes(head))) > p_cap:
+                self._patterns = False
+                return None
+        h64 = _combine_hashes(np.asarray(hashes_dev))
+        uniq, rep, inverse = np.unique(h64, return_index=True, return_inverse=True)
+        P = len(uniq)
+        if P > p_cap:
+            self._patterns = False
+            return None
+        pidx = jnp.asarray(inverse.astype(np.int32))
+        patterns = self.mask[jnp.asarray(rep.astype(np.int32))]
+        # Exact verification (defends against hash collisions): every row
+        # must equal its assigned pattern.
+        step = 1 << 20
+        for start in range(0, n, step):
+            ok = jnp.all(patterns[pidx[start : start + step]]
+                         == self.mask[start : start + step])
+            if not bool(ok):  # collision (~2^-64 per pattern pair): demote
+                self._patterns = False
+                return None
+        self._patterns = (pidx, patterns)
+        return self._patterns
+
     def empty_dimensions(self) -> List[int]:
         """Dimensions masked in *every* sample (`dataset.rs:193-222`)."""
         if self.is_empty():
@@ -159,7 +276,7 @@ class Dataset:
         return np.where(mask, data, np.nan)
 
     def weights_numpy(self) -> np.ndarray:
-        return np.asarray(self.weights, dtype=np.float64)[: len(self)]
+        return np.asarray(self.weights_dev, dtype=np.float64)[: len(self)]
 
     # Parity alias: the bindings expose `weights()` as a method
     # (`src/python_bindings.rs:106-108`).
@@ -178,7 +295,7 @@ class Dataset:
             {
                 "data": np.asarray(self.data, dtype=np.float64)[:n],
                 "mask": np.asarray(self.mask)[:n],
-                "weights": np.asarray(self.weights, dtype=np.float64)[:n],
+                "weights": np.asarray(self.weights_dev, dtype=np.float64)[:n],
             },
         )
 
@@ -192,9 +309,10 @@ class Dataset:
 
     def __setstate__(self, state):
         other = Dataset.load(state)
-        self.data, self.mask, self.weights = other.data, other.mask, other.weights
+        self.data, self.mask, self.weights_dev = other.data, other.mask, other.weights_dev
         self._n_real = None
         self._all_observed = None
+        self._patterns = None
 
     def __reduce__(self):
         return (Dataset.load, (self.dump(),))
@@ -205,7 +323,7 @@ class Dataset:
     def slice(self, start: int, stop: int) -> "Dataset":
         stop = min(stop, len(self))
         new = Dataset.from_parts(
-            self.data[start:stop], self.mask[start:stop], self.weights[start:stop]
+            self.data[start:stop], self.mask[start:stop], self.weights_dev[start:stop]
         )
         if self._all_observed:
             new._all_observed = True
@@ -226,7 +344,7 @@ class Dataset:
         return Dataset.from_parts(
             jnp.concatenate([d.data[: len(d)] for d in datasets], axis=0),
             jnp.concatenate([d.mask[: len(d)] for d in datasets], axis=0),
-            jnp.concatenate([d.weights[: len(d)] for d in datasets], axis=0),
+            jnp.concatenate([d.weights_dev[: len(d)] for d in datasets], axis=0),
         )
 
     def __repr__(self) -> str:

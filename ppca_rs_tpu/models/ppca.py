@@ -27,6 +27,7 @@ from ..config import block_size_for, config
 from ..dataset import Dataset
 from ..ops import dense_fast as df
 from ..ops import masked_linalg as ml
+from ..ops import pattern_dedup as pd
 from ..prior import Prior
 from ..utils.rng import ensure_key
 from ..utils.serialization import dump_bytes, load_bytes
@@ -67,7 +68,13 @@ def _impl_and_block(dataset: Dataset):
     dense = dataset.all_observed()
     mesh = dataset_mesh(dataset)
     if mesh is None:
-        return (_SINGLE_DENSE if dense else _SINGLE), block_size_for(dataset.padded_len)
+        bs = block_size_for(dataset.padded_len)
+        if dense:
+            return _SINGLE_DENSE, bs
+        pat = dataset.pattern_info()
+        if pat is not None:
+            return _pattern_fns(*pat), bs
+        return _SINGLE, bs
     from ..parallel.api import fns_for
 
     n_data = mesh.shape[DATA_AXIS]
@@ -257,6 +264,74 @@ _SINGLE_DENSE = {
 }
 
 
+# --- mask-pattern-dedup fast path (ops/pattern_dedup.py): P distinct mask
+# patterns << N samples; per-pattern factorization tables replace per-sample
+# ones. Signature-compatible via closures over the dataset's pattern arrays.
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _llks_pat_jit(C, mean, sigma, data, mask, pidx, pats, block_size):
+    return pd.llks(C, mean, sigma, data, mask, pidx, pats, block_size=block_size)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _llk_pat_jit(C, mean, sigma, data, mask, weights, pidx, pats, block_size):
+    per = pd.llks(C, mean, sigma, data, mask, pidx, pats, block_size=block_size)
+    return jnp.sum(per * weights)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _infer_pat_jit(C, mean, sigma, data, mask, pidx, pats, block_size):
+    return pd.infer(C, mean, sigma, data, mask, pidx, pats, block_size=block_size)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _smooth_pat_jit(C, mean, sigma, data, mask, pidx, pats, block_size):
+    states = pd.states(C, mean, sigma, data, mask, pidx, pats, block_size=block_size)
+    return states @ C.T + mean
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _extrapolate_pat_jit(C, mean, sigma, data, mask, pidx, pats, block_size):
+    states = pd.states(C, mean, sigma, data, mask, pidx, pats, block_size=block_size)
+    smoothed = states @ C.T + mean
+    return jnp.where(mask, data, smoothed)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _em_step_pat_jit(C, mean, sigma, data, mask, weights, pidx, pats,
+                     tprec, noise_prior, mean_prior, block_size):
+    stats = pd.em_stats(
+        C, mean, sigma, data, mask, pidx, pats, weights, block_size=block_size
+    )
+    new_C, new_mean, new_sigma = ml.em_finalize(
+        C, mean, sigma, stats,
+        transformation_precision=tprec,
+        noise_prior=noise_prior,
+        mean_prior=mean_prior,
+    )
+    return new_C, new_mean, new_sigma, stats.llk
+
+
+def _pattern_fns(pidx, pats):
+    """Adapter closures binding a dataset's pattern arrays onto the common
+    verb signatures (the jit caches below are shared across datasets)."""
+    return {
+        "llks": lambda C, mean, sigma, data, mask, bs:
+            _llks_pat_jit(C, mean, sigma, data, mask, pidx, pats, bs),
+        "llk": lambda C, mean, sigma, data, mask, weights, bs:
+            _llk_pat_jit(C, mean, sigma, data, mask, weights, pidx, pats, bs),
+        "infer": lambda C, mean, sigma, data, mask, bs:
+            _infer_pat_jit(C, mean, sigma, data, mask, pidx, pats, bs),
+        "smooth": lambda C, mean, sigma, data, mask, bs:
+            _smooth_pat_jit(C, mean, sigma, data, mask, pidx, pats, bs),
+        "extrapolate": lambda C, mean, sigma, data, mask, bs:
+            _extrapolate_pat_jit(C, mean, sigma, data, mask, pidx, pats, bs),
+        "em_step": lambda C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, bs:
+            _em_step_pat_jit(C, mean, sigma, data, mask, weights, pidx, pats,
+                             tprec, noise_prior, mean_prior, bs),
+    }
+
+
 # ===================================================================== #
 
 
@@ -396,7 +471,7 @@ class PPCAModel:
         with _precision(self.output_size):
             out = fns["llk"](
                 self._transform, self._mean, self._isotropic_noise,
-                dataset.data, dataset.mask, dataset.weights, bs,
+                dataset.data, dataset.mask, dataset.weights_dev, bs,
             )
         return float(out)
 
@@ -473,7 +548,7 @@ class PPCAModel:
                 dataset.data, dataset.mask, bs,
             )
         n = len(dataset)
-        return Dataset.unmasked(smoothed[:n], dataset.weights[:n])
+        return Dataset.unmasked(smoothed[:n], dataset.weights_dev[:n])
 
     def extrapolate(self, dataset: Dataset) -> Dataset:
         """Fill missing values, keeping observed ones untouched
@@ -485,7 +560,7 @@ class PPCAModel:
                 dataset.data, dataset.mask, bs,
             )
         n = len(dataset)
-        return Dataset.unmasked(extr[:n], dataset.weights[:n])
+        return Dataset.unmasked(extr[:n], dataset.weights_dev[:n])
 
     # ------------------------------------------------------------------ #
     # EM (ppca_model.rs:263-393)
@@ -517,7 +592,7 @@ class PPCAModel:
         with _precision(self.output_size):
             new_C, new_mean, new_sigma, llk = fns["em_step"](
                 self._transform, self._mean, self._isotropic_noise,
-                dataset.data, dataset.mask, dataset.weights,
+                dataset.data, dataset.mask, dataset.weights_dev,
                 tprec, noise_prior, mean_prior, bs,
             )
         return PPCAModel._from_params(new_C, new_mean, new_sigma), float(llk)

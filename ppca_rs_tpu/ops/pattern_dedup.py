@@ -1,0 +1,245 @@
+"""Mask-pattern deduplication: factor P distinct patterns, not N samples.
+
+Real-world missingness is usually *structured* — a handful of instruments,
+survey versions or join shapes produce P distinct mask patterns with
+P << N.  Every per-sample quantity that depends on the sample only through
+its mask then collapses to a P-sized table:
+
+* the masked Gram ``G_p = C^T diag(m_p) C``, its factorization, the posterior
+  covariance ``Sigma_p = sigma^2 M_p^{-1}``, the log-determinant and the
+  noise-update trace ``tr(G_p Sigma_p)`` are computed ONCE per pattern
+  (`ppca/src/ppca_model.rs:195-208` pays all of this per sample);
+* per-sample work shrinks to the mask-weighted projections ``b_n = C^T r_n``
+  (one MXU matmul per block) and a batched (k, k) @ (k,) mat-vec against the
+  gathered ``Sigma_{p(n)}`` — no per-sample factorization at all;
+* the M-step's dominant ``(D, B) x (B, k^2)`` second-moment matmul is grouped
+  by pattern when ``P <= D``: per-pattern sums of ``w s s^T`` via a one-hot
+  MXU matmul, then a single ``(D, P) x (P, k^2)`` contraction.
+
+The pattern tables themselves are built by the fused Pallas SPD kernel when
+available (with ``b = 0`` the kernel's second-moment output IS
+``sigma^2 M^{-1}`` and its llk output encodes the log-determinant), or by
+batched XLA Cholesky otherwise — P is small either way.
+
+Pattern *detection* is host-side (``Dataset.pattern_info``): device-side
+``packbits`` over the mask, ``np.unique`` on the packed rows.
+
+Everything here is algebraically identical to ops/masked_linalg (same
+reductions, different grouping) and is tested for f64 parity against it and
+against the brute-force reference formulas.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import cho_solve
+
+from . import masked_linalg as ml
+from .masked_linalg import LN_2PI, _pad_blocks
+
+
+class PatternTables(NamedTuple):
+    """Per-pattern E-step quantities (leading axis P, possibly lane-padded)."""
+
+    Sigma: jax.Array    # (P, k*k) posterior covariance sigma^2 M_p^{-1}
+    pat_llk: jax.Array  # (P,) the mask-only llk term:
+                        #      -0.5 (logdet M_p + 2 log sigma (d_p - k) + LN_2PI d_p)
+    sq: jax.Array       # (P,) tr(G_p Sigma_p)  (the noise-update term)
+
+
+def _use_kernel_for_tables(k: int, dtype) -> bool:
+    from ..config import config
+    from . import kernels
+
+    if not config.use_pallas or jax.default_backend() != "tpu":
+        return False
+    return kernels.supported(k, kernels.LANE, dtype)
+
+
+def compute_tables(C: jax.Array, sigma: jax.Array, patterns_f: jax.Array) -> PatternTables:
+    """Factor all P patterns at once.  ``patterns_f`` is the (P, D) 0/1
+    pattern matrix in compute dtype."""
+    P, _ = patterns_f.shape
+    k = C.shape[1]
+    dtype = patterns_f.dtype
+    CC = ml.outer_flat(C).astype(dtype)
+    G = patterns_f @ CC                                   # (P, k*k)
+    d_obs = jnp.sum(patterns_f, axis=-1)                  # (P,)
+    sigma2 = sigma * sigma
+
+    if _use_kernel_for_tables(k, dtype):
+        from . import kernels
+
+        lane = kernels.LANE
+        Ppad = -(-P // lane) * lane
+        G3 = jnp.pad(G, ((0, Ppad - P), (0, 0))).reshape(Ppad, k, k).transpose(1, 2, 0)
+        zeros_b = jnp.zeros((k, Ppad), dtype)
+        zeros_r = jnp.zeros((1, Ppad), dtype)
+        dob = jnp.pad(d_obs, (0, Ppad - P))[None, :]
+        # With b = 0 the kernel returns s = 0, SM = sigma^2 M^{-1},
+        # llk = the pure mask term, and sq = tr(G Sigma) directly.
+        _, SM3, llk, sq = kernels.spd_estep(sigma, G3, zeros_b, zeros_r, dob)
+        Sigma = SM3.reshape(k * k, Ppad).T[:P]
+        return PatternTables(Sigma, llk[0, :P], sq[0, :P])
+
+    M = G.reshape(P, k, k) + sigma2 * jnp.eye(k, dtype=dtype)
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.broadcast_to(jnp.eye(k, dtype=dtype), M.shape)
+    Sigma = (sigma2 * cho_solve((L, True), eye)).reshape(P, k * k)
+    if k > 0:
+        logdet_m = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    else:
+        logdet_m = jnp.zeros((P,), dtype)
+    logdet = logdet_m + 2.0 * jnp.log(sigma) * (d_obs - k)
+    pat_llk = -0.5 * (logdet + LN_2PI * d_obs)
+    sq = jnp.sum(G * Sigma, axis=-1)
+    return PatternTables(Sigma, pat_llk, sq)
+
+
+def _block_states_llk(C, mean, sigma, tables: PatternTables, datab, mask_f, pidx):
+    """Per-sample states + llks for one block: one MXU matmul + a gathered
+    batched mat-vec.  Returns (R, b, s, llk)."""
+    k = C.shape[1]
+    B = datab.shape[0]
+    R = mask_f * (datab - mean)
+    b = R @ C                                             # (B, k)
+    Sig = jnp.take(tables.Sigma, pidx, axis=0)            # (B, k*k)
+    s = jnp.einsum("bij,bj->bi", Sig.reshape(B, k, k), b) / (sigma * sigma)
+    rnorm = jnp.sum(R * R, axis=-1)
+    quad = (rnorm - jnp.sum(b * s, axis=-1)) / (sigma * sigma)
+    llk = jnp.take(tables.pat_llk, pidx, axis=0) - 0.5 * quad
+    return R, b, s, llk
+
+
+def llks(C, mean, sigma, data, mask, pidx, patterns, *, block_size: int) -> jax.Array:
+    """Per-sample log-likelihoods via the pattern tables."""
+    n = data.shape[0]
+    cdtype = ml.compute_dtype(data.dtype, C.dtype)
+    tables = compute_tables(C, sigma, patterns.astype(cdtype))
+    _, (data3, mask3, pidx3) = _pad_blocks(n, block_size, data, mask, pidx)
+
+    def body(_, xs):
+        datab, maskb, pb = xs
+        _, _, _, llk = _block_states_llk(
+            C, mean, sigma, tables, datab.astype(cdtype), maskb.astype(cdtype), pb
+        )
+        return None, llk
+
+    _, out = lax.scan(body, None, (data3, mask3, pidx3))
+    return out.reshape(-1)[:n]
+
+
+def states(C, mean, sigma, data, mask, pidx, patterns, *, block_size: int) -> jax.Array:
+    """Posterior state means only (smooth/extrapolate path)."""
+    n = data.shape[0]
+    k = C.shape[1]
+    cdtype = ml.compute_dtype(data.dtype, C.dtype)
+    tables = compute_tables(C, sigma, patterns.astype(cdtype))
+    _, (data3, mask3, pidx3) = _pad_blocks(n, block_size, data, mask, pidx)
+
+    def body(_, xs):
+        datab, maskb, pb = xs
+        _, _, s, _ = _block_states_llk(
+            C, mean, sigma, tables, datab.astype(cdtype), maskb.astype(cdtype), pb
+        )
+        return None, s
+
+    _, out = lax.scan(body, None, (data3, mask3, pidx3))
+    return out.reshape(out.shape[0] * out.shape[1], k)[:n]
+
+
+def infer(C, mean, sigma, data, mask, pidx, patterns, *, block_size: int):
+    """Posterior states and covariances.  Covariances come straight from the
+    pattern table (sigma^2 M^{-1}), with no round-trip through second
+    moments — so no cancellation error and guaranteed symmetric PSD."""
+    n = data.shape[0]
+    k = C.shape[1]
+    cdtype = ml.compute_dtype(data.dtype, C.dtype)
+    tables = compute_tables(C, sigma, patterns.astype(cdtype))
+    _, (data3, mask3, pidx3) = _pad_blocks(n, block_size, data, mask, pidx)
+
+    def body(_, xs):
+        datab, maskb, pb = xs
+        _, _, s, _ = _block_states_llk(
+            C, mean, sigma, tables, datab.astype(cdtype), maskb.astype(cdtype), pb
+        )
+        return None, (s, jnp.take(tables.Sigma, pb, axis=0))
+
+    _, (s, covs) = lax.scan(body, None, (data3, mask3, pidx3))
+    np_ = s.shape[0] * s.shape[1]
+    return s.reshape(np_, k)[:n], covs.reshape(np_, k, k)[:n]
+
+
+def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
+             block_size: int) -> ml.EMStats:
+    """One fused pass computing all EM sufficient statistics, grouped by
+    pattern wherever the quantity depends on the sample only through its
+    mask.  Returns the same EMStats as masked_linalg.em_stats.
+
+    Grouped-by-pattern pieces (computed once per pattern / per (P,) table):
+      * ``S``'s covariance half: sum_p wsum_p m_pd Sigma_p
+      * ``S``'s outer-product half, when P <= D: per-pattern sums of
+        ``w s s^T`` via a one-hot MXU matmul, then one (D, P) x (P, k^2)
+      * ``square_error`` = sum_p wsum_p tr(G_p Sigma_p)
+      * ``totals``       = sum_p wsum_p m_pd
+    """
+    n, _ = data.shape
+    D, k = C.shape
+    dtype = ml.compute_dtype(data.dtype, C.dtype)
+    patterns_f = patterns.astype(dtype)
+    P = patterns_f.shape[0]
+    tables = compute_tables(C, sigma, patterns_f)
+    group_outer = P <= D  # one-hot grouping beats the direct (D,B)x(B,k^2)
+    _, (data3, mask3, pidx3, w2) = _pad_blocks(n, block_size, data, mask, pidx, weights)
+
+    def body(acc, xs):
+        datab, maskb, pb, w = xs
+        datab = datab.astype(dtype)
+        mask_f = maskb.astype(dtype)
+        w = w.astype(dtype)
+        R, b, s, llk_b = _block_states_llk(C, mean, sigma, tables, datab, mask_f, pb)
+
+        cross = lax.dot_general(R, s * w[:, None], (((0,), (0,)), ((), ())))  # (D, k)
+        outer_s = (s[:, :, None] * s[:, None, :]).reshape(s.shape[0], k * k)
+        onehot = (pb[:, None] == jnp.arange(P, dtype=pb.dtype)[None, :]).astype(dtype)
+        wsum = w @ onehot                                                     # (P,)
+        if group_outer:
+            Souter = lax.dot_general(
+                onehot * w[:, None], outer_s, (((0,), (0,)), ((), ()))
+            )                                                                 # (P, k*k)
+        else:
+            Souter = lax.dot_general(
+                mask_f * w[:, None], outer_s, (((0,), (0,)), ((), ()))
+            )                                                                 # (D, k*k)
+
+        dev = mask_f * (datab - s @ C.T - mean)
+        dev_sq = jnp.sum(w * jnp.sum(dev * dev, axis=-1))
+        total_dev = w @ dev
+        llk = jnp.sum(w * llk_b)
+        return (
+            (acc[0] + cross, acc[1] + Souter, acc[2] + wsum),
+            (dev_sq, total_dev, llk),
+        )
+
+    souter_shape = (P, k * k) if group_outer else (D, k * k)
+    zero = (
+        jnp.zeros((D, k), dtype),
+        jnp.zeros(souter_shape, dtype),
+        jnp.zeros((P,), dtype),
+    )
+    (cross, Souter, wsum), small = lax.scan(body, zero, (data3, mask3, pidx3, w2))
+    dev_sq, total_dev, llk = (jnp.sum(x, axis=0) for x in small)
+
+    # Assemble the pattern-grouped statistics with single (D, P) contractions.
+    pat_T = patterns_f.T                                   # (D, P)
+    if group_outer:
+        S = pat_T @ (Souter + wsum[:, None] * tables.Sigma)
+    else:
+        S = Souter + pat_T @ (wsum[:, None] * tables.Sigma)
+    square_error = jnp.sum(wsum * tables.sq)
+    totals = pat_T @ wsum
+    return ml.EMStats(cross, S, square_error, dev_sq, total_dev, totals, llk)

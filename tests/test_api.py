@@ -165,7 +165,7 @@ def test_bf16_storage(rng):
     ds = Dataset(data)
     ds16 = ds.astype(jnp.bfloat16)
     assert ds16.dtype == jnp.bfloat16
-    assert ds16.weights.dtype != jnp.bfloat16
+    assert ds16.weights_dev.dtype != jnp.bfloat16
 
     model = PPCAModel(
         isotropic_noise=0.6, transform=rng.normal(size=(16, 3)), mean=rng.normal(size=16)

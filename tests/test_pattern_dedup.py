@@ -1,0 +1,173 @@
+"""Mask-pattern deduplication (ops/pattern_dedup.py): detection gates and
+exact f64 parity with the general masked path — same reductions, different
+grouping."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ppca_rs_tpu import Dataset, PPCAModel, PPCATrainer, Prior
+from ppca_rs_tpu.config import config
+from ppca_rs_tpu.ops import masked_linalg as ml
+from ppca_rs_tpu.ops import pattern_dedup as pd
+
+
+def make_patterned_dataset(rng, n=96, d=9, n_patterns=5, empty_dim=True,
+                           all_masked_row=True, zero_weight=True):
+    """Data whose masks are drawn from a small pattern pool, with all the
+    degenerate cases mixed in."""
+    pats = rng.random((n_patterns, d)) < 0.6
+    if empty_dim:
+        pats[:, 3] = False                 # dimension 3 never observed
+    pats[0] = False                        # an all-masked pattern
+    pats[1] = True
+    pats[1, 3] = not empty_dim
+    idx = rng.integers(0, n_patterns, size=n)
+    values = rng.normal(size=(n, d))
+    values[~pats[idx]] = np.nan
+    if all_masked_row:
+        values[7] = np.nan
+    weights = rng.random(n) + 0.25
+    if zero_weight:
+        weights[11] = 0.0
+    return Dataset(values, weights=weights)
+
+
+def make_model(rng, d=9, k=3):
+    return PPCAModel(
+        isotropic_noise=0.45,
+        transform=rng.normal(size=(d, k)),
+        mean=rng.normal(size=d),
+    )
+
+
+# --------------------------------------------------------------------- #
+# detection
+
+
+def test_pattern_info_reconstructs_mask(rng):
+    ds = make_patterned_dataset(rng)
+    info = ds.pattern_info()
+    assert info is not None
+    pidx, pats = info
+    np.testing.assert_array_equal(
+        np.asarray(ds.mask), np.asarray(pats)[np.asarray(pidx)]
+    )
+    # caching: second call returns the same objects; with_weights shares them
+    assert ds.pattern_info() is info
+    assert ds.with_weights(np.ones(len(ds))).pattern_info() is info
+
+
+def test_pattern_info_gates(rng):
+    # unstructured masks: every row distinct => not profitable
+    values = rng.normal(size=(64, 12))
+    values[rng.random((64, 12)) < 0.5] = np.nan
+    assert Dataset(values).pattern_info() is None
+
+    # fully observed: dense fast path owns this case
+    assert Dataset(rng.normal(size=(32, 4))).pattern_info() is None
+
+    # config switch
+    ds = make_patterned_dataset(rng)
+    config.use_pattern_dedup = False
+    try:
+        assert ds.pattern_info() is None
+    finally:
+        config.use_pattern_dedup = True
+
+
+# --------------------------------------------------------------------- #
+# parity with the general masked path (f64)
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_verbs_match_masked_path(rng, k):
+    ds = make_patterned_dataset(rng)
+    model = make_model(rng, k=k)
+    C, mean, sigma = model._transform, model._mean, model._isotropic_noise
+    pidx, pats = ds.pattern_info()
+    bs = 32
+
+    ref_llks = ml.llks(C, mean, sigma, ds.data, ds.mask, block_size=bs)
+    pat_llks = pd.llks(C, mean, sigma, ds.data, ds.mask, pidx, pats, block_size=bs)
+    np.testing.assert_allclose(pat_llks, ref_llks, rtol=1e-10, atol=1e-12)
+
+    ref_states = ml.states(C, mean, sigma, ds.data, ds.mask, block_size=bs)
+    pat_states = pd.states(C, mean, sigma, ds.data, ds.mask, pidx, pats, block_size=bs)
+    np.testing.assert_allclose(pat_states, ref_states, rtol=1e-9, atol=1e-12)
+
+    ref_s, ref_cov = ml.infer(C, mean, sigma, ds.data, ds.mask, block_size=bs)
+    pat_s, pat_cov = pd.infer(C, mean, sigma, ds.data, ds.mask, pidx, pats, block_size=bs)
+    np.testing.assert_allclose(pat_s, ref_s, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(pat_cov, ref_cov, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("group_outer", [True, False])
+def test_em_stats_match_masked_path(rng, group_outer):
+    if group_outer:
+        ds = make_patterned_dataset(rng, n=96, d=9, n_patterns=5)   # P <= D
+    else:
+        ds = make_patterned_dataset(rng, n=128, d=4, n_patterns=9,
+                                    empty_dim=False)                # P > D
+    model = make_model(rng, d=ds.output_size(), k=2)
+    C, mean, sigma = model._transform, model._mean, model._isotropic_noise
+    pidx, pats = ds.pattern_info()
+    assert (pats.shape[0] <= ds.output_size()) == group_outer
+    bs = 32
+
+    ref = ml.em_stats(C, mean, sigma, ds.data, ds.mask, ds.weights_dev, block_size=bs)
+    pat = pd.em_stats(C, mean, sigma, ds.data, ds.mask, pidx, pats, ds.weights_dev,
+                      block_size=bs)
+    for name in ref._fields:
+        np.testing.assert_allclose(
+            getattr(pat, name), getattr(ref, name), rtol=1e-9, atol=1e-11,
+            err_msg=f"EMStats field {name}",
+        )
+
+
+def test_model_dispatch_and_training(rng):
+    """End-to-end: the model verbs route through the dedup path for a
+    patterned dataset and produce the same numbers as the general path."""
+    ds = make_patterned_dataset(rng, n=120)
+    model = make_model(rng)
+    prior = (
+        Prior()
+        .with_isotropic_noise_prior(2.0, 2.0)
+        .with_transformation_precision(0.2)
+        .with_mean_prior(np.zeros(9), 0.5 * np.eye(9))
+    )
+
+    assert ds.pattern_info() is not None  # verbs below route through dedup
+
+    llk_pat = model.llk(ds)
+    ext_pat = model.extrapolate(ds).numpy()
+    new_pat = model.iterate_with_prior(ds, prior)
+
+    config.use_pattern_dedup = False
+    try:
+        ds2 = Dataset(np.where(np.asarray(ds.mask), np.asarray(ds.data), np.nan),
+                      weights=ds.weights_numpy())
+        assert ds2.pattern_info() is None
+        llk_ref = model.llk(ds2)
+        ext_ref = model.extrapolate(ds2).numpy()
+        new_ref = model.iterate_with_prior(ds2, prior)
+    finally:
+        config.use_pattern_dedup = True
+
+    assert np.isclose(llk_pat, llk_ref, rtol=1e-10)
+    np.testing.assert_allclose(ext_pat, ext_ref, rtol=1e-9, atol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(new_pat.transform, new_ref.transform, rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(new_pat.mean, new_ref.mean, rtol=1e-8, atol=1e-11)
+    assert np.isclose(new_pat.isotropic_noise, new_ref.isotropic_noise, rtol=1e-9)
+
+    # monotone EM through the dedup path
+    trained = PPCATrainer(ds).train(state_size=3, n_iters=8, quiet=True)
+    assert np.isfinite(trained.llk(ds))
+    prev = model.llk(ds)
+    cur = model
+    for _ in range(5):
+        cur = cur.iterate(ds)
+        llk = cur.llk(ds)
+        assert llk >= prev - 1e-8
+        prev = llk
