@@ -59,9 +59,18 @@ from jax.experimental.pallas import tpu as pltpu
 LN_2PI = 1.8378770664093453
 
 LANE = 128
-MAX_K = 72  # VMEM: A double-buffer (2x) + Res + 2x pipelined SM out, f32
+# VMEM sizing: the "full" variant holds A double-buffered (2x) + Res + the
+# pipelined SM output (2x) = ~5 k^2 LANE f32 in VMEM.  The v5e has 128 MB of
+# physical VMEM; the default Mosaic limit is ~16 MB (which capped k at 72 in
+# round 1) and is raised per-call via CompilerParams(vmem_limit_bytes) below.
+VMEM_BUDGET = 110 * 1024 * 1024
+MAX_K = 192  # 5 * 192^2 * 128 * 4B = 94 MB
 
-WANTS = ("llk", "states", "full")
+WANTS = ("llk", "states", "full", "infer")
+# "infer" = same loop as "full" but the second output is the posterior
+# covariance Sigma = sigma^2 M^{-1} itself (not SM = s s^T + Sigma): callers
+# that need per-sample covariances get them without the SM - s s^T round trip,
+# whose f32 cancellation can break PSD-ness for well-observed samples.
 
 
 def _make_kernel(want: str):
@@ -73,7 +82,7 @@ def _make_kernel(want: str):
         elif want == "states":
             (s_ref, llk_ref, A_scr, Res_scr, in_sems) = rest
             SM_ref = None
-        else:
+        else:  # "full" / "infer"
             (s_ref, SM_ref, llk_ref, sq_ref, A_scr, Res_scr, in_sems) = rest
 
         k = A_scr.shape[1]
@@ -244,9 +253,13 @@ def _make_kernel(want: str):
                        == lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)).astype(dtype)
             tr_minv = jnp.sum(SM_ref[...] * eye_col, axis=(0, 1))
             sq_ref[...] = (sigma2 * (k - sigma2 * tr_minv))[None, :]
-            # SM = s s^T + sigma^2 M^{-1}
-            SM_ref[...] = (s[:, None, :] * s[None, :, :]
-                           + sigma2[None, None, :] * SM_ref[...])
+            if want == "infer":
+                # Sigma = sigma^2 M^{-1} directly (no s s^T round trip)
+                SM_ref[...] = sigma2[None, None, :] * SM_ref[...]
+            else:
+                # SM = s s^T + sigma^2 M^{-1}
+                SM_ref[...] = (s[:, None, :] * s[None, :, :]
+                               + sigma2[None, None, :] * SM_ref[...])
 
     return kernel
 
@@ -338,6 +351,15 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
         )
         scratch = [a_scr, res_scr, sems]
 
+    # Raise the Mosaic VMEM allowance to what the buffers actually need (the
+    # default ~16 MB limit is far below the chip's 128 MB and capped k at 72).
+    n_big = {"llk": 2, "states": 3, "full": 5, "infer": 5}[want]
+    vmem_bytes = n_big * k * k * LANE * 4 + 8 * (k + 4) * LANE * 4
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem_bytes * 1.25) + (1 << 20), 128 * 1024 * 1024)
+        )
     out = pl.pallas_call(
         _KERNELS[want],
         grid=grid,
@@ -352,10 +374,12 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
+        **kwargs,
     )(sigma2, G3, b_t, rnorm, d_obs)
     return out
 
 
 def supported(k: int, block: int, dtype) -> bool:
     """Whether the fused kernel handles this configuration."""
-    return 1 <= k <= MAX_K and block % LANE == 0 and dtype == jnp.float32
+    k8 = -(-k // 8) * 8  # the kernel zero-pads k to a sublane multiple
+    return 1 <= k8 <= MAX_K and block % LANE == 0 and dtype == jnp.float32

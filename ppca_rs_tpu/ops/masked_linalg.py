@@ -259,10 +259,16 @@ def infer(
         datab = datab.astype(cdtype)
         mf = maskb.astype(cdtype)
         if use_kernel:
-            s_t, SM3, _, _, _, _ = _kernel_block(C, CC, mean, sigma, datab, mf)
-            states = s_t.T
-            covs = jnp.transpose(SM3, (2, 0, 1)) - states[:, :, None] * states[:, None, :]
-            return None, (states, covs)
+            from . import kernels
+
+            _, b_t, G3, rnorm, d_obs = _kernel_prep(C, CC, mean, sigma, datab, mf)
+            # want="infer": the kernel emits Sigma = sigma^2 M^{-1} directly —
+            # no SM - s s^T round trip, so covariances keep full relative
+            # precision and stay PSD for well-observed samples.
+            s_t, Sig3, _, _ = kernels.spd_estep(
+                sigma, G3, b_t, rnorm, d_obs[None, :], want="infer"
+            )
+            return None, (s_t.T, jnp.transpose(Sig3, (2, 0, 1)))
         post = block_posterior(C, CC, mean, sigma, datab, mf, axis_model)
         return None, (post.states, block_covariances(post, sigma))
 

@@ -49,7 +49,7 @@ def run_both(rng, B, D, k, sigma=0.7, empty_rows=(3,)):
     return want, got
 
 
-@pytest.mark.parametrize("k", [2, 8, 13, 32])
+@pytest.mark.parametrize("k", [2, 8, 13, 32, 80])
 def test_kernel_matches_xla(rng, k):
     want, got = run_both(rng, B=128, D=24, k=k)
     np.testing.assert_allclose(got["states"], want["states"], rtol=3e-4, atol=3e-5)
@@ -134,6 +134,39 @@ def test_kernel_per_lane_sigma(rng):
     np.testing.assert_allclose(np.asarray(llk)[0], want_llk, rtol=3e-4, atol=3e-3)
 
 
+@pytest.mark.parametrize("k", [4, 16])
+def test_kernel_infer_variant(rng, k):
+    """want="infer" returns Sigma = sigma^2 M^{-1} directly — exactly the XLA
+    covariance, with no SM - s s^T cancellation."""
+    B, D = 128, 24
+    C = jnp.asarray(rng.normal(size=(D, k)), jnp.float32)
+    mean = jnp.asarray(rng.normal(size=D), jnp.float32)
+    sig = jnp.float32(0.7)
+    data = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, D)) > 0.4)
+    data = jnp.where(mask, data, 0.0)
+    mf = mask.astype(jnp.float32)
+    CC = ml.outer_flat(C)
+    post = ml.block_posterior(C, CC, mean, sig, data, mf)
+    Sigma_ref = ml.block_covariances(post, sig)
+    llk_ref = ml.block_llk(post, sig, k)
+
+    G3 = jnp.transpose(post.G_local.reshape(B, k, k), (1, 2, 0))
+    rnorm = jnp.sum(post.R * post.R, axis=-1)[None, :]
+    dob = jnp.sum(mf, axis=-1)[None, :]
+    s_t, Sig3, llk, sq = kernels.spd_estep(
+        sig, G3, post.b.T, rnorm, dob, want="infer", interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(s_t).T, post.states, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(Sig3, (2, 0, 1))), Sigma_ref, rtol=3e-4, atol=3e-6
+    )
+    np.testing.assert_allclose(np.asarray(llk)[0], llk_ref, rtol=3e-4, atol=3e-3)
+    # covariances must be symmetric PSD as computed (cholesky succeeds)
+    chol = jnp.linalg.cholesky(jnp.transpose(Sig3, (2, 0, 1)))
+    assert bool(jnp.all(jnp.isfinite(chol)))
+
+
 def test_kernel_batch_alignment():
     with pytest.raises(ValueError):
         kernels.spd_estep(
@@ -148,7 +181,10 @@ def test_kernel_batch_alignment():
 
 def test_supported_gate():
     assert kernels.supported(64, 8192, jnp.float32)
+    assert kernels.supported(100, 8192, jnp.float32)   # k>72 ceiling lifted
+    assert kernels.supported(128, 8192, jnp.float32)
+    assert kernels.supported(kernels.MAX_K, 8192, jnp.float32)
     assert not kernels.supported(0, 8192, jnp.float32)
-    assert not kernels.supported(100, 8192, jnp.float32)
+    assert not kernels.supported(kernels.MAX_K + 1, 8192, jnp.float32)
     assert not kernels.supported(64, 100, jnp.float32)
     assert not kernels.supported(64, 8192, jnp.float64)
