@@ -49,6 +49,26 @@ def _mix_em_jit(Cs, means, sigmas, log_weights, data, mask, weights,
     return new_Cs, new_means, new_sigmas, new_logw, stats.llk
 
 
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _mix_llks_jit(Cs, means, sigmas, data, mask, block_size):
+    return mf.mix_llks(Cs, means, sigmas, data, mask, block_size=block_size)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _mix_infer_jit(Cs, means, sigmas, log_weights, data, mask, block_size):
+    return mf.mix_infer(
+        Cs, means, sigmas, log_weights, data, mask, block_size=block_size
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "extrapolate"))
+def _mix_smooth_jit(Cs, means, sigmas, log_weights, data, mask, block_size, extrapolate):
+    return mf.mix_smooth(
+        Cs, means, sigmas, log_weights, data, mask,
+        block_size=block_size, extrapolate=extrapolate,
+    )
+
+
 @jax.jit
 def _log_softmax_jit(x):
     """Max-shifted log-softmax (`mix.rs:14-18`)."""
@@ -166,11 +186,51 @@ class PPCAMix:
     # ------------------------------------------------------------------ #
     # likelihood (mix.rs:136-174)
 
+    def _stacked_params(self):
+        """(Cs, means, sigmas) stacked over components when every component
+        shares a state size (the fused-verb requirement), else None."""
+        if len({m.state_size for m in self._models}) != 1:
+            return None
+        return (
+            jnp.stack([m._transform for m in self._models]),
+            jnp.stack([m._mean for m in self._models]),
+            jnp.stack([m._isotropic_noise for m in self._models]),
+        )
+
+    def _mix_block(self, dataset: Dataset, mesh) -> int:
+        from ..parallel.mesh import DATA_AXIS
+
+        n_data = 1 if mesh is None else mesh.shape[DATA_AXIS]
+        return block_size_for(
+            max(1, dataset.padded_len // (n_data * max(1, len(self._models))))
+        )
+
     def _component_llks(self, dataset: Dataset) -> jnp.ndarray:
         """(N_padded, M) per-component per-sample log-likelihoods, on device
-        (padding rows are neutral: all-masked rows have zero llk)."""
-        cols = [m._llks_device(dataset) for m in self._models]
-        return jnp.stack(cols, axis=1)
+        (padding rows are neutral: all-masked rows have zero llk).
+
+        Equal state sizes take ONE fused pass over the data for all M
+        components (ops/mix_fused.py); heterogeneous mixtures fall back to M
+        per-component scans (the reference always makes M passes,
+        `mix.rs:283-288`)."""
+        from ..parallel.mesh import MODEL_AXIS, dataset_mesh
+
+        stacked = self._stacked_params()
+        if stacked is None:
+            cols = [m._llks_device(dataset) for m in self._models]
+            return jnp.stack(cols, axis=1)
+        Cs, means, sigmas = stacked
+        mesh = dataset_mesh(dataset)
+        block = self._mix_block(dataset, mesh)
+        with _precision(self._output_size):
+            if mesh is None:
+                return _mix_llks_jit(Cs, means, sigmas, dataset.data, dataset.mask, block)
+            from ..parallel.api import fns_for
+
+            use_model = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
+            return fns_for(mesh, use_model)["mix_llks"](
+                Cs, means, sigmas, dataset.data, dataset.mask, block
+            )
 
     def llks(self, dataset: Dataset) -> np.ndarray:
         """Per-sample mixture log-likelihood: logsumexp over components of
@@ -184,7 +244,7 @@ class PPCAMix:
             return 0.0
         per = self._component_llks(dataset)
         mix_llk = _logsumexp_jit(per + self._log_weights[None, :])
-        return float(jnp.sum(mix_llk * dataset.weights))
+        return float(jnp.sum(mix_llk * dataset.weights_dev))
 
     def infer_cluster(self, dataset: Dataset) -> np.ndarray:
         """(N, M) per-sample *log*-posterior over components — the reference
@@ -230,19 +290,60 @@ class PPCAMix:
         return InferredMaskedMix(self, log_post, list(inferred))
 
     def infer(self, dataset: Dataset) -> "InferredMaskedMix":
+        from ..parallel.mesh import dataset_mesh
+
+        n = len(dataset)
+        stacked = self._stacked_params()
+        if stacked is not None and dataset_mesh(dataset) is None:
+            # ONE fused pass for responsibilities AND every component's
+            # posterior (vs the reference's M llks + M infer passes,
+            # mix.rs:205-236).
+            Cs, means, sigmas = stacked
+            block = self._mix_block(dataset, None)
+            with _precision(self._output_size):
+                log_post, states, covs = _mix_infer_jit(
+                    Cs, means, sigmas, self._log_weights,
+                    dataset.data, dataset.mask, block,
+                )
+            inferred = [
+                InferredMasked(m, states[i, :n], covs[i, :n])
+                for i, m in enumerate(self._models)
+            ]
+            return InferredMaskedMix(self, log_post[:n], inferred)
         per = self._component_llks(dataset)
-        log_post = _log_softmax_jit(per + self._log_weights[None, :])[: len(dataset)]
+        log_post = _log_softmax_jit(per + self._log_weights[None, :])[:n]
         inferred = [m.infer(dataset) for m in self._models]
         return InferredMaskedMix(self, log_post, inferred)
 
+    def _smooth_fused(self, dataset: Dataset, extrapolate: bool):
+        from ..parallel.mesh import dataset_mesh
+
+        stacked = self._stacked_params()
+        if stacked is None or dataset_mesh(dataset) is not None:
+            return None
+        Cs, means, sigmas = stacked
+        block = self._mix_block(dataset, None)
+        with _precision(self._output_size):
+            out = _mix_smooth_jit(
+                Cs, means, sigmas, self._log_weights,
+                dataset.data, dataset.mask, block, extrapolate,
+            )
+        return Dataset.unmasked(out[: len(dataset)])
+
     def smooth(self, dataset: Dataset) -> Dataset:
         """Posterior-weighted mixture of component smoothings
-        (`mix.rs:239-251`)."""
+        (`mix.rs:239-251`); one fused pass when state sizes are equal."""
+        fused = self._smooth_fused(dataset, extrapolate=False)
+        if fused is not None:
+            return fused
         return self.infer(dataset).smoothed(self)
 
     def extrapolate(self, dataset: Dataset) -> Dataset:
         """Posterior-weighted mixture of component extrapolations
-        (`mix.rs:253-265`)."""
+        (`mix.rs:253-265`); one fused pass when state sizes are equal."""
+        fused = self._smooth_fused(dataset, extrapolate=True)
+        if fused is not None:
+            return fused
         return self.infer(dataset).extrapolated(self, dataset)
 
     # ------------------------------------------------------------------ #
@@ -272,9 +373,9 @@ class PPCAMix:
             return self._iterate_fused(dataset, prior)
         per = self._component_llks(dataset)                      # (N, M)
         joint = per + self._log_weights[None, :]
-        llk = float(jnp.sum(_logsumexp_jit(joint) * dataset.weights))
+        llk = float(jnp.sum(_logsumexp_jit(joint) * dataset.weights_dev))
         log_post = _log_softmax_jit(joint)
-        log_w_data = jnp.log(dataset.weights)                    # -inf for w=0 drops the sample
+        log_w_data = jnp.log(dataset.weights_dev)                    # -inf for w=0 drops the sample
         new_models: List[PPCAModel] = []
         new_log_weights: List[jnp.ndarray] = []
         for i, model in enumerate(self._models):
@@ -316,7 +417,7 @@ class PPCAMix:
         with _precision(self._output_size):
             new_Cs, new_means, new_sigmas, new_logw, llk = step(
                 Cs, means, sigmas, self._log_weights,
-                dataset.data, dataset.mask, dataset.weights,
+                dataset.data, dataset.mask, dataset.weights_dev,
                 tprec, noise_prior, mean_prior, block,
             )
         new_models = [

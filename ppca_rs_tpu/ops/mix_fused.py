@@ -59,10 +59,12 @@ class MixEMStats(NamedTuple):
     llk: jax.Array           # scalar mixture llk of the current parameters
 
 
-def _block_mix(Cs, CCs, means, sigmas, log_weights, datab, mask_f, w,
-               use_kernel: bool, axis_model: Optional[str]):
-    """One block: per-component posteriors + responsibilities + weighted
-    M-step contributions for every component."""
+def _block_post(Cs, CCs, means, sigmas, datab, mask_f,
+                use_kernel: bool, axis_model: Optional[str], want: str = "full"):
+    """Per-component posteriors for one block of samples, all M components in
+    one shot (stacked along the Pallas kernel's lane axis, or batched XLA
+    Cholesky).  Returns (R, llks, s, SM, sq_b); ``s``/``SM``/``sq_b`` are
+    None when ``want`` doesn't request them ("llk" < "states" < "full")."""
     M, D_loc, k = Cs.shape
     B = datab.shape[0]
     dtype = datab.dtype
@@ -74,31 +76,44 @@ def _block_mix(Cs, CCs, means, sigmas, log_weights, datab, mask_f, w,
     rnorm = _psum(jnp.sum(R * R, axis=-1), axis_model)                 # (M,B)
     d_obs = _psum(jnp.sum(mask_f, axis=-1), axis_model)                # (B,)
 
+    s = SM = sq_b = None
     if use_kernel:
         from . import kernels
 
-        # All components stack along the kernel's lane axis — one call
-        # factors M x B posteriors (the kernel takes per-lane sigmas).
         G3 = _psum(G_flat_loc, axis_model).reshape(M * B, k, k).transpose(1, 2, 0)
         b_t = b.reshape(M * B, k).T
         sig_lane = jnp.repeat(sigmas, B)[None, :]                 # (1, M*B)
         dob_lane = jnp.tile(d_obs, M)[None, :]
-        s_t, SM3, llk_l, sq_l = kernels.spd_estep(
-            sig_lane, G3, b_t, rnorm.reshape(1, M * B), dob_lane
+        out = kernels.spd_estep(
+            sig_lane, G3, b_t, rnorm.reshape(1, M * B), dob_lane, want=want
         )
-        s = s_t.T.reshape(M, B, k)
-        SM = SM3.reshape(k * k, M, B).transpose(1, 2, 0)
+        if want == "llk":
+            (llk_l,) = out
+        elif want == "states":
+            s_t, llk_l = out
+            s = s_t.T.reshape(M, B, k)
+        else:
+            s_t, SM3, llk_l, sq_l = out
+            s = s_t.T.reshape(M, B, k)
+            SM = SM3.reshape(k * k, M, B).transpose(1, 2, 0)
+            sq_b = sq_l.reshape(M, B)
         llks = llk_l.reshape(M, B)
-        sq_b = sq_l.reshape(M, B)
     else:
         sigma2 = (sigmas * sigmas)[:, None, None]
         G = _psum(G_flat_loc, axis_model).reshape(M, B, k, k)
         Mmat = G + sigma2[..., None] * jnp.eye(k, dtype=dtype)
         L = jnp.linalg.cholesky(Mmat)
         s = jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
-        eye = jnp.broadcast_to(jnp.eye(k, dtype=dtype), Mmat.shape)
-        Sigma = sigma2[..., None] * jax.scipy.linalg.cho_solve((L, True), eye)
-        SM = (s[..., :, None] * s[..., None, :] + Sigma).reshape(M, B, k * k)
+        if want in ("full", "infer"):
+            eye = jnp.broadcast_to(jnp.eye(k, dtype=dtype), Mmat.shape)
+            Sigma = sigma2[..., None] * jax.scipy.linalg.cho_solve((L, True), eye)
+            if want == "infer":
+                SM = Sigma.reshape(M, B, k * k)
+            else:
+                SM = (s[..., :, None] * s[..., None, :] + Sigma).reshape(M, B, k * k)
+            sq_b = jnp.sum(
+                G_flat_loc.reshape(M, B, k * k) * Sigma.reshape(M, B, k * k), axis=-1
+            )
         if k > 0:
             diag = jnp.diagonal(L, axis1=-2, axis2=-1)
             logdet_m = 2.0 * jnp.sum(jnp.log(diag), axis=-1)
@@ -107,7 +122,19 @@ def _block_mix(Cs, CCs, means, sigmas, log_weights, datab, mask_f, w,
         quad = (rnorm - jnp.sum(b * s, axis=-1)) / (sigmas * sigmas)[:, None]
         logdet = logdet_m + 2.0 * jnp.log(sigmas)[:, None] * (d_obs[None, :] - k)
         llks = -0.5 * (quad + logdet + LN_2PI * d_obs[None, :])
-        sq_b = jnp.sum(G_flat_loc.reshape(M, B, k * k) * Sigma.reshape(M, B, k * k), axis=-1)
+        if want == "llk":
+            s = None
+    return R, llks, s, SM, sq_b
+
+
+def _block_mix(Cs, CCs, means, sigmas, log_weights, datab, mask_f, w,
+               use_kernel: bool, axis_model: Optional[str]):
+    """One block: per-component posteriors + responsibilities + weighted
+    M-step contributions for every component."""
+    M, D_loc, k = Cs.shape
+    R, llks, s, SM, sq_b = _block_post(
+        Cs, CCs, means, sigmas, datab, mask_f, use_kernel, axis_model, "full"
+    )
 
     # responsibilities (mix.rs:289-295) and the mixture llk — same pass.
     joint = llks + log_weights[:, None]                 # (M,B)
@@ -130,6 +157,186 @@ def _block_mix(Cs, CCs, means, sigmas, log_weights, datab, mask_f, w,
 
     return MixEMStats(cross, S, square_error, dev_sq, total_dev, totals,
                       resp_sum, resp_max, llk_mix)
+
+
+def _mix_prep(Cs, data, block_size, axis_model, *arrays):
+    M, D_loc, k = Cs.shape
+    dtype = ml.compute_dtype(data.dtype, Cs.dtype)
+    CCs = (Cs[:, :, :, None] * Cs[:, :, None, :]).reshape(M, D_loc, k * k)
+    use_kernel = ml._use_kernel(k, block_size, dtype, axis_model)
+    _, blocks = _pad_blocks(data.shape[0], block_size, data, *arrays)
+    return dtype, CCs, use_kernel, blocks
+
+
+def _lane_major_prep(Cs, means, CCs):
+    """Loop-invariant operands pre-transposed so every per-block contraction
+    of the readout fast path produces the kernel's lane-major (.., M, B)
+    layout directly — no (M, B, D) temporaries, no post-matmul transposes.
+
+    Per-component centerings are expressed relative to the component-average
+    mean (data is centered ONCE on mean0, then corrected per component), so
+    the expanded |r|^2 quadratic's cancellation error scales with the
+    between-component mean spread, not with the raw data magnitude."""
+    M, D_loc, k = Cs.shape
+    mean0 = jnp.mean(means, axis=0)                   # (D,)
+    dm = means - mean0                                # (M, D)
+    return (
+        CCs.transpose(2, 0, 1),                       # (k^2, M, D)
+        Cs.transpose(2, 0, 1),                        # (k,   M, D)
+        (Cs * dm[:, :, None]).transpose(2, 0, 1),     # (k,   M, D)
+        mean0,
+        dm,
+    )
+
+
+def _block_llks_kernel(lane_prep, means, sigmas, datab, mask_f,
+                       axis_model: Optional[str], want: str):
+    """llk/states fast path for one block: three shared MXU matmuls feed the
+    fused SPD kernel with all M components stacked on the lane axis.
+    Returns (llks (M, B), s (M, B, k) or None)."""
+    from . import kernels
+
+    CC_km, Cs_km, Cdm_km, mean0, dm = lane_prep
+    k, M, _ = Cs_km.shape
+    B = datab.shape[0]
+    md0 = mask_f * (datab - mean0)                                # (B, D)
+    dims = (((2,), (1,)), ((), ()))
+    G3 = _psum(lax.dot_general(CC_km, mask_f, dims), axis_model)  # (k^2, M, B)
+    # b_m = C_m^T (mask (y - mu_m)) = C_m^T md0 - C_m^T (mask dm_m)
+    b3 = _psum(
+        lax.dot_general(Cs_km, md0, dims) - lax.dot_general(Cdm_km, mask_f, dims),
+        axis_model,
+    )                                                             # (k, M, B)
+    # |mask (y - mu_m)|^2 = |md0|^2 - 2 md0 . dm_m + mask . dm_m^2.  These
+    # two (B, D) x (D, M) products are tiny but feed the llk quadratic form
+    # directly, so they run at full f32 precision regardless of the global
+    # matmul-precision setting (bf16 operand rounding here costs ~nats).
+    rd2 = jnp.sum(md0 * md0, axis=-1)                             # (B,)
+    hp = jax.lax.Precision.HIGHEST
+    mdm = jnp.matmul(md0, dm.T, precision=hp)                     # (B, M)
+    m2 = jnp.matmul(mask_f, (dm * dm).T, precision=hp)            # (B, M)
+    rnorm = _psum(rd2[:, None] - 2.0 * mdm + m2, axis_model).T    # (M, B)
+    d_obs = _psum(jnp.sum(mask_f, axis=-1), axis_model)           # (B,)
+
+    sig_lane = jnp.repeat(sigmas, B)[None, :]
+    dob_lane = jnp.tile(d_obs, M)[None, :]
+    out = kernels.spd_estep(
+        sig_lane, G3.reshape(k, k, M * B), b3.reshape(k, M * B),
+        rnorm.reshape(1, M * B), dob_lane, want=want,
+    )
+    if want == "llk":
+        (llk_l,) = out
+        return llk_l.reshape(M, B), None
+    s_t, llk_l = out
+    return llk_l.reshape(M, B), s_t.reshape(k, M, B).transpose(1, 2, 0)
+
+
+def mix_llks(Cs, means, sigmas, data, mask, *, block_size: int,
+             axis_model: Optional[str] = None) -> jax.Array:
+    """(N, M) per-component per-sample log-likelihoods in ONE pass — the
+    fused replacement for M separate llks scans (`mix.rs:137-159` runs each
+    component's llks over the whole dataset)."""
+    n = data.shape[0]
+    M = Cs.shape[0]
+    dtype, CCs, use_kernel, (data3, mask3) = _mix_prep(
+        Cs, data, block_size, axis_model, mask
+    )
+    lane_prep = _lane_major_prep(Cs, means, CCs) if use_kernel else None
+
+    def body(_, xs):
+        datab, maskb = xs
+        if use_kernel:
+            llks, _ = _block_llks_kernel(
+                lane_prep, means, sigmas, datab.astype(dtype),
+                maskb.astype(dtype), axis_model, "llk",
+            )
+        else:
+            _, llks, _, _, _ = _block_post(
+                Cs, CCs, means, sigmas, datab.astype(dtype), maskb.astype(dtype),
+                False, axis_model, "llk",
+            )
+        return None, llks.T                                   # (B, M)
+
+    _, out = lax.scan(body, None, (data3, mask3))
+    return out.reshape(-1, M)[:n]
+
+
+def mix_infer(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
+              axis_model: Optional[str] = None):
+    """Fused mixture inference: ONE pass produces the (N, M) log-posteriors
+    plus every component's posterior states (M, N, k) and covariances
+    (M, N, k, k) — vs the reference's M llks passes + M infer passes
+    (`mix.rs:205-236`).  Covariances come from the "infer" variant
+    (sigma^2 M^{-1} directly, no SM - s s^T cancellation)."""
+    n = data.shape[0]
+    M, _, k = Cs.shape
+    dtype, CCs, use_kernel, (data3, mask3) = _mix_prep(
+        Cs, data, block_size, axis_model, mask
+    )
+
+    def body(_, xs):
+        datab, maskb = xs
+        _, llks, s, Sig, _ = _block_post(
+            Cs, CCs, means, sigmas, datab.astype(dtype), maskb.astype(dtype),
+            use_kernel, axis_model, "infer",
+        )
+        return None, (llks.T, s, Sig.reshape(M, -1, k, k))
+
+    _, (llks, s, covs) = lax.scan(body, None, (data3, mask3))
+    n_pad = llks.shape[0] * llks.shape[1]
+    log_post = llks.reshape(n_pad, M) + log_weights[None, :]
+    mx = jnp.max(log_post, axis=-1, keepdims=True)
+    log_post = log_post - mx - jnp.log(
+        jnp.sum(jnp.exp(log_post - mx), axis=-1, keepdims=True)
+    )
+    states = jnp.moveaxis(s, 1, 0).reshape(M, n_pad, k)[:, :n]
+    covs = jnp.moveaxis(covs, 1, 0).reshape(M, n_pad, k, k)[:, :n]
+    return log_post[:n], states, covs
+
+
+def mix_smooth(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
+               axis_model: Optional[str] = None, extrapolate: bool = False):
+    """Fused posterior-weighted smoothing (`mix.rs:239-251`) — or, with
+    ``extrapolate=True``, extrapolation (`mix.rs:253-265`) — end to end in
+    one pass: no (M, N, ...) intermediate ever materializes."""
+    n = data.shape[0]
+    dtype, CCs, use_kernel, (data3, mask3) = _mix_prep(
+        Cs, data, block_size, axis_model, mask
+    )
+    lane_prep = _lane_major_prep(Cs, means, CCs) if use_kernel else None
+
+    def body(_, xs):
+        datab, maskb = xs
+        datab = datab.astype(dtype)
+        mask_f = maskb.astype(dtype)
+        if use_kernel:
+            llks, s = _block_llks_kernel(
+                lane_prep, means, sigmas, datab, mask_f, axis_model, "states"
+            )
+        else:
+            _, llks, s, _, _ = _block_post(
+                Cs, CCs, means, sigmas, datab, mask_f, False, axis_model, "states"
+            )
+        joint = llks + log_weights[:, None]                   # (M, B)
+        post = jnp.exp(joint - _logsumexp0(joint)[None, :])
+        # out[b, d] = sum_m post[m, b] (s[m, b] @ C_m^T + mu_m)[d]: fold the
+        # posterior weights into the states so the M-component combine is ONE
+        # (B, M k) x (M k, D) matmul.
+        M, D_loc, k = Cs.shape
+        B = datab.shape[0]
+        ws = (post[..., None] * s).transpose(1, 0, 2).reshape(B, M * k)
+        sm = ws @ Cs.transpose(0, 2, 1).reshape(M * k, D_loc) + post.T @ means
+        if extrapolate:
+            sm = jnp.where(maskb, datab, sm)
+        return None, sm
+
+    _, out = lax.scan(body, None, (data3, mask3))
+    return out.reshape(-1, data.shape[1])[:n]
+
+
+def _logsumexp0(x):
+    m = jnp.max(x, axis=0)
+    return m + jnp.log(jnp.sum(jnp.exp(x - m[None, :]), axis=0))
 
 
 def mix_em_stats(Cs, means, sigmas, log_weights, data, mask, weights, *,

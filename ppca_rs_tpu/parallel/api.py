@@ -158,6 +158,24 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         )(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior)
 
     @functools.partial(jax.jit, static_argnames=("block_size",))
+    def mix_llks(Cs, means, sigmas, data, mask, block_size):
+        """Sharded fused per-component llks: one pass for all M components
+        on every data shard (ops/mix_fused.py)."""
+        from ..ops import mix_fused as mfd
+
+        def inner(Cs, means, sigmas, data, mask):
+            return mfd.mix_llks(
+                Cs, means, sigmas, data, mask,
+                block_size=block_size, axis_model=axis_model,
+            )
+
+        return smap(
+            inner,
+            (P(None, col, None), P(None, col), rep, rows, rows),
+            P(DATA_AXIS),
+        )(Cs, means, sigmas, data, mask)
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
     def mix_em_step(Cs, means, sigmas, log_weights, data, mask, weights,
                     tprec, noise_prior, mean_prior, block_size):
         """Sharded fused mixture EM (ops/mix_fused.py): per-component stats
@@ -202,5 +220,6 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         "smooth": smooth,
         "extrapolate": extrapolate,
         "em_step": em_step,
+        "mix_llks": mix_llks,
         "mix_em_step": mix_em_step,
     }

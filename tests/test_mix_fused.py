@@ -35,9 +35,9 @@ def loop_iterate(mix, dataset, prior):
     from ppca_rs_tpu.models.mix import _log_softmax_jit, _logsumexp_jit
 
     joint = per + mix._log_weights[None, :]
-    llk = float(jnp.sum(_logsumexp_jit(joint) * dataset.weights))
+    llk = float(jnp.sum(_logsumexp_jit(joint) * dataset.weights_dev))
     log_post = _log_softmax_jit(joint)
-    log_w_data = jnp.log(dataset.weights)
+    log_w_data = jnp.log(dataset.weights_dev)
     new_models, new_lw = [], []
     for i, model in enumerate(mix._models):
         lp = log_w_data + log_post[:, i]
@@ -82,6 +82,37 @@ def test_fused_is_default_for_equal_sizes(rng):
         llk = cur.llk(ds)
         assert llk >= prev - 1e-6
         prev = llk
+
+
+def test_fused_inference_verbs_match_loop(rng):
+    """mix_llks / mix_infer / mix_smooth must equal the per-component loop."""
+    import jax.numpy as jnp
+
+    mix, ds = make_mix_and_data(rng)
+    n = len(ds)
+
+    # loop references (the reference's M-pass shape, mix.rs:137-265)
+    per_loop = jnp.stack([m._llks_device(ds) for m in mix._models], axis=1)
+    per_fused = mix._component_llks(ds)
+    np.testing.assert_allclose(per_fused, per_loop, rtol=1e-9, atol=1e-11)
+
+    inf = mix.infer(ds)  # fused path (equal state sizes, unsharded)
+    from ppca_rs_tpu.models.mix import _log_softmax_jit
+
+    log_post_ref = _log_softmax_jit(per_loop + mix._log_weights[None, :])[:n]
+    np.testing.assert_allclose(inf.log_posteriors(), log_post_ref, rtol=1e-9, atol=1e-11)
+    for sub, m in zip(inf.sub_states(), mix._models):
+        ref = m.infer(ds)
+        np.testing.assert_allclose(sub.states(), ref.states(), rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(
+            sub.covariances_array(), ref.covariances_array(), rtol=1e-7, atol=1e-9
+        )
+
+    # fused smooth/extrapolate vs the infer-based combination
+    sm_ref = inf.smoothed(mix).numpy()
+    ex_ref = inf.extrapolated(mix, ds).numpy()
+    np.testing.assert_allclose(mix.smooth(ds).numpy(), sm_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(mix.extrapolate(ds).numpy(), ex_ref, rtol=1e-8, atol=1e-10)
 
 
 def test_dead_component_keeps_params(rng):
