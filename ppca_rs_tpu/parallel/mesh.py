@@ -61,7 +61,7 @@ def shard_dataset(dataset: Dataset, mesh: Mesh) -> Dataset:
             f"output_size {d} must be divisible by the model axis size {n_model}"
         )
     pad = (-n) % n_data
-    data, mask, weights = dataset.data[:n], dataset.mask[:n], dataset.weights[:n]
+    data, mask, weights = dataset.data[:n], dataset.mask[:n], dataset.weights_dev[:n]
     if pad:
         import jax.numpy as jnp
 

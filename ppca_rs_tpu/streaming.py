@@ -83,7 +83,7 @@ def iterate_streamed(
             n_samples += len(ds)
             stats = _stats_jit(
                 model._transform, model._mean, model._isotropic_noise,
-                ds.data, ds.mask, ds.weights,
+                ds.data, ds.mask, ds.weights_dev,
                 block_size_for(ds.padded_len),
             )
             del ds
