@@ -7,9 +7,12 @@ uses (`mix.rs:281-337`): per-sample responsibilities become per-sample
 weights for each component's inner EM — which is what makes
 ``Dataset.with_weights`` load-bearing.
 
-All N-sized math runs through the same jitted blocked kernels as the single
-model; the Python-level loop is only over the M (small) components, which
-also naturally supports heterogeneous state sizes.
+All N-sized math is fused across components (ops/mix_fused.py): EM,
+per-component llks, infer, smooth and extrapolate are each ONE pass over the
+data regardless of M.  Heterogeneous state sizes ride the same fused pass
+zero-padded to max(k) — padded latent dimensions are exactly inert (see
+PPCAMix._stacked_params); a reference-shaped per-component loop is kept as
+the independently-implemented oracle the fused paths are tested against.
 """
 
 from __future__ import annotations
@@ -187,12 +190,22 @@ class PPCAMix:
     # likelihood (mix.rs:136-174)
 
     def _stacked_params(self):
-        """(Cs, means, sigmas) stacked over components when every component
-        shares a state size (the fused-verb requirement), else None."""
-        if len({m.state_size for m in self._models}) != 1:
-            return None
+        """(Cs, means, sigmas) stacked over components.  Heterogeneous state
+        sizes are zero-padded to max(k): padded latent dimensions are EXACTLY
+        inert through the whole fused algebra — the padded Gram block is 0,
+        so M gains a sigma^2 I block whose log-det cancels against the
+        (d_obs - k) noise term, padded states are 0, padded posterior
+        covariance is the prior's I (sliced away on readout), the M-step's
+        cross-moment rows for padded columns are 0 so the solve returns 0,
+        and tr(G Sigma) gets no padded contribution.  This is the same
+        absorption the kernel already uses for its k->k8 sublane padding
+        (ops/kernels.py)."""
+        kmax = max(m.state_size for m in self._models)
         return (
-            jnp.stack([m._transform for m in self._models]),
+            jnp.stack([
+                jnp.pad(m._transform, ((0, 0), (0, kmax - m.state_size)))
+                for m in self._models
+            ]),
             jnp.stack([m._mean for m in self._models]),
             jnp.stack([m._isotropic_noise for m in self._models]),
         )
@@ -215,11 +228,7 @@ class PPCAMix:
         `mix.rs:283-288`)."""
         from ..parallel.mesh import MODEL_AXIS, dataset_mesh
 
-        stacked = self._stacked_params()
-        if stacked is None:
-            cols = [m._llks_device(dataset) for m in self._models]
-            return jnp.stack(cols, axis=1)
-        Cs, means, sigmas = stacked
+        Cs, means, sigmas = self._stacked_params()
         mesh = dataset_mesh(dataset)
         block = self._mix_block(dataset, mesh)
         with _precision(self._output_size):
@@ -293,12 +302,12 @@ class PPCAMix:
         from ..parallel.mesh import dataset_mesh
 
         n = len(dataset)
-        stacked = self._stacked_params()
-        if stacked is not None and dataset_mesh(dataset) is None:
+        if dataset_mesh(dataset) is None:
             # ONE fused pass for responsibilities AND every component's
             # posterior (vs the reference's M llks + M infer passes,
-            # mix.rs:205-236).
-            Cs, means, sigmas = stacked
+            # mix.rs:205-236).  Heterogeneous state sizes ride the same pass
+            # zero-padded; each component's readout slices back to its k.
+            Cs, means, sigmas = self._stacked_params()
             block = self._mix_block(dataset, None)
             with _precision(self._output_size):
                 log_post, states, covs = _mix_infer_jit(
@@ -306,7 +315,8 @@ class PPCAMix:
                     dataset.data, dataset.mask, block,
                 )
             inferred = [
-                InferredMasked(m, states[i, :n], covs[i, :n])
+                InferredMasked(m, states[i, :n, : m.state_size],
+                               covs[i, :n, : m.state_size, : m.state_size])
                 for i, m in enumerate(self._models)
             ]
             return InferredMaskedMix(self, log_post[:n], inferred)
@@ -318,10 +328,9 @@ class PPCAMix:
     def _smooth_fused(self, dataset: Dataset, extrapolate: bool):
         from ..parallel.mesh import dataset_mesh
 
-        stacked = self._stacked_params()
-        if stacked is None or dataset_mesh(dataset) is not None:
+        if dataset_mesh(dataset) is not None:
             return None
-        Cs, means, sigmas = stacked
+        Cs, means, sigmas = self._stacked_params()
         block = self._mix_block(dataset, None)
         with _precision(self._output_size):
             out = _mix_smooth_jit(
@@ -332,7 +341,7 @@ class PPCAMix:
 
     def smooth(self, dataset: Dataset) -> Dataset:
         """Posterior-weighted mixture of component smoothings
-        (`mix.rs:239-251`); one fused pass when state sizes are equal."""
+        (`mix.rs:239-251`); one fused end-to-end pass when unsharded."""
         fused = self._smooth_fused(dataset, extrapolate=False)
         if fused is not None:
             return fused
@@ -340,7 +349,7 @@ class PPCAMix:
 
     def extrapolate(self, dataset: Dataset) -> Dataset:
         """Posterior-weighted mixture of component extrapolations
-        (`mix.rs:253-265`); one fused pass when state sizes are equal."""
+        (`mix.rs:253-265`); one fused end-to-end pass when unsharded."""
         fused = self._smooth_fused(dataset, extrapolate=True)
         if fused is not None:
             return fused
@@ -363,19 +372,24 @@ class PPCAMix:
         on the dataset) — the responsibilities pass already computes every
         per-component llk, so the dataset llk is free.
 
-        Components with equal state sizes on an unsharded dataset take the
-        single-pass fused path (ops/mix_fused.py); otherwise the
-        reference-shaped per-component loop runs."""
+        Heterogeneous state sizes ride the same single fused pass
+        (ops/mix_fused.py) zero-padded to max(k): padded latent dimensions
+        are exactly inert (see _stacked_params), and each new transform is
+        sliced back to its component's size (its padded columns come out
+        exactly 0 from the block-diagonal M-step solve)."""
         if dataset.is_empty():
             raise ValueError("cannot iterate on an empty dataset")
-        sizes = {m.state_size for m in self._models}
-        if len(sizes) == 1:
-            return self._iterate_fused(dataset, prior)
+        return self._iterate_fused(dataset, prior)
+
+    def _iterate_loop(self, dataset: Dataset, prior: Prior):
+        """The reference-shaped per-component loop (`mix.rs:281-337`): M llks
+        passes then M reweighted inner EMs.  Kept as the independent
+        implementation the fused path is tested against."""
         per = self._component_llks(dataset)                      # (N, M)
         joint = per + self._log_weights[None, :]
         llk = float(jnp.sum(_logsumexp_jit(joint) * dataset.weights_dev))
         log_post = _log_softmax_jit(joint)
-        log_w_data = jnp.log(dataset.weights_dev)                    # -inf for w=0 drops the sample
+        log_w_data = jnp.log(dataset.weights_dev)                # -inf for w=0 drops the sample
         new_models: List[PPCAModel] = []
         new_log_weights: List[jnp.ndarray] = []
         for i, model in enumerate(self._models):
@@ -394,9 +408,7 @@ class PPCAMix:
         from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, dataset_mesh
 
         dtype = self._models[0]._transform.dtype
-        Cs = jnp.stack([m._transform for m in self._models])
-        means = jnp.stack([m._mean for m in self._models])
-        sigmas = jnp.stack([m._isotropic_noise for m in self._models])
+        Cs, means, sigmas = self._stacked_params()
 
         mesh = dataset_mesh(dataset)
         if mesh is None:
@@ -421,8 +433,10 @@ class PPCAMix:
                 tprec, noise_prior, mean_prior, block,
             )
         new_models = [
-            PPCAModel._from_params(new_Cs[m], new_means[m], new_sigmas[m])
-            for m in range(len(self._models))
+            PPCAModel._from_params(
+                new_Cs[i][:, : m.state_size], new_means[i], new_sigmas[i]
+            )
+            for i, m in enumerate(self._models)
         ]
         return PPCAMix(new_models, new_logw), float(llk)
 

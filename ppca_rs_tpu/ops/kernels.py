@@ -267,10 +267,10 @@ def _make_kernel(want: str):
 _KERNELS = {w: _make_kernel(w) for w in WANTS}
 
 
-@functools.partial(jax.jit, static_argnames=("want", "interpret"))
+@functools.partial(jax.jit, static_argnames=("want", "interpret", "tile"))
 def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
               rnorm: jax.Array, d_obs: jax.Array, *,
-              want: str = "full", interpret: bool = False):
+              want: str = "full", interpret: bool = False, tile: int = 0):
     """Fused batched SPD E-step.
 
     Args:
@@ -305,7 +305,8 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
         pad = k8 - k
         G3 = jnp.pad(G3, ((0, pad), (0, pad), (0, 0)))
         b_t = jnp.pad(b_t, ((0, pad), (0, 0)))
-        out = spd_estep(sigma, G3, b_t, rnorm, d_obs, want=want, interpret=interpret)
+        out = spd_estep(sigma, G3, b_t, rnorm, d_obs, want=want,
+                        interpret=interpret, tile=tile)
         if want == "llk":
             return out
         if want == "states":
@@ -317,13 +318,20 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
     dtype = G3.dtype
     sigma = jnp.asarray(sigma, dtype)
     sigma2 = jnp.broadcast_to((sigma * sigma).reshape(1, -1), (1, B))
-    grid = (B // LANE,)
+    # Wider tiles were measured SLOWER (k=64: 8.1 ms at T=256 vs 7.1 ms at
+    # T=128) — the serial column chain is not latency-bound enough for wider
+    # VPU ops to pay for their VMEM pressure. `tile` stays a knob for
+    # experiments; the default is one lane tile.
+    T = tile if tile else LANE
+    if B % T != 0:
+        raise ValueError(f"batch {B} must be a multiple of tile {T}")
+    grid = (B // T,)
 
     def vec_spec(rows):
-        return pl.BlockSpec((rows, LANE), lambda i: (0, i), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((rows, T), lambda i: (0, i), memory_space=pltpu.VMEM)
 
-    a_scr = pltpu.VMEM((2, k, k, LANE), dtype)       # double-buffered G/A
-    res_scr = pltpu.VMEM((k, k, LANE), dtype)
+    a_scr = pltpu.VMEM((2, k, k, T), dtype)          # double-buffered G/A
+    res_scr = pltpu.VMEM((k, k, T), dtype)
     sems = pltpu.SemaphoreType.DMA((2,))
     if want == "llk":
         out_specs = (vec_spec(1),)
@@ -339,7 +347,7 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
     else:
         out_specs = (
             vec_spec(k),
-            pl.BlockSpec((k, k, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k, T), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             vec_spec(1),
             vec_spec(1),
         )
@@ -354,11 +362,13 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
     # Raise the Mosaic VMEM allowance to what the buffers actually need (the
     # default ~16 MB limit is far below the chip's 128 MB and capped k at 72).
     n_big = {"llk": 2, "states": 3, "full": 5, "infer": 5}[want]
-    vmem_bytes = n_big * k * k * LANE * 4 + 8 * (k + 4) * LANE * 4
+    # Mosaic also stack-allocates the kernel-body temporaries (each column
+    # step holds a few (k, T) values), so leave generous headroom.
+    vmem_bytes = n_big * k * k * T * 4 + 24 * (k + 4) * T * 4
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=min(int(vmem_bytes * 1.25) + (1 << 20), 128 * 1024 * 1024)
+            vmem_limit_bytes=min(int(vmem_bytes * 1.3) + (4 << 20), 128 * 1024 * 1024)
         )
     out = pl.pallas_call(
         _KERNELS[want],

@@ -24,8 +24,11 @@ are relative to it.  The fused path therefore tracks the per-component
 maximum responsibility in the same pass and rescales the (weight-linear)
 statistics before finalization, reproducing the reference exactly.
 
-Heterogeneous state sizes fall back to the reference-shaped per-component
-loop in models/mix.py.
+Heterogeneous state sizes ride the same fused pass, zero-padded to max(k)
+by models/mix.py (padded latent dimensions are exactly inert — the padded
+Gram block is zero, its log-det contribution cancels against the
+(d_obs - k) noise term, and the M-step solve is block-diagonal with zero
+cross-moment, so padded transform columns come out exactly 0).
 """
 
 from __future__ import annotations

@@ -158,11 +158,58 @@ def test_dead_component_keeps_params(rng):
         assert np.isfinite(m.isotropic_noise)
 
 
-def test_heterogeneous_falls_back(rng):
+def test_heterogeneous_rides_fused_path(rng):
+    """Components with different state sizes go through the same fused pass
+    zero-padded to max(k); results must equal the reference-shaped
+    per-component loop exactly (padded latent dims are inert)."""
     m1 = PPCAModel(isotropic_noise=0.5, transform=rng.normal(size=(5, 1)), mean=np.zeros(5))
-    m2 = PPCAModel(isotropic_noise=0.5, transform=rng.normal(size=(5, 3)), mean=np.ones(5))
-    mix = PPCAMix([m1, m2], np.zeros(2))
-    data = mix.sample(30, 0.2, key=jax.random.PRNGKey(0))
-    new = mix.iterate(data)  # loop path
-    assert new.state_sizes == [1, 3]
-    assert np.isfinite(new.llk(data))
+    m2 = PPCAModel(isotropic_noise=0.4, transform=rng.normal(size=(5, 3)), mean=np.ones(5))
+    mix = PPCAMix([m1, m2], np.log([0.4, 0.6]))
+    data = mix.sample(60, 0.2, key=jax.random.PRNGKey(0))
+    data = data.with_weights(rng.random(60) + 0.5)
+
+    fused, llk_f = mix._iterate_fused(data, Prior())
+    loop, llk_l = mix._iterate_loop(data, Prior())
+    assert fused.state_sizes == [1, 3]
+    assert np.isclose(llk_f, llk_l, rtol=1e-10)
+    np.testing.assert_allclose(fused.log_weights, loop.log_weights, rtol=1e-8, atol=1e-10)
+    for a, b in zip(fused.models, loop.models):
+        np.testing.assert_allclose(a.transform, b.transform, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(a.mean, b.mean, rtol=1e-7, atol=1e-9)
+        assert np.isclose(a.isotropic_noise, b.isotropic_noise, rtol=1e-8)
+
+    # with priors too (the prior strengths interact with the weight scaling)
+    prior = (
+        Prior()
+        .with_isotropic_noise_prior(2.0, 1.5)
+        .with_transformation_precision(0.2)
+        .with_mean_prior(np.zeros(5), 0.7 * np.eye(5))
+    )
+    fused_p, _ = mix._iterate_fused(data, prior)
+    loop_p, _ = mix._iterate_loop(data, prior)
+    for a, b in zip(fused_p.models, loop_p.models):
+        np.testing.assert_allclose(a.transform, b.transform, rtol=1e-7, atol=1e-9)
+        assert np.isclose(a.isotropic_noise, b.isotropic_noise, rtol=1e-8)
+
+    # inference verbs: fused infer slices each component back to its k and
+    # matches the per-component path
+    inf = mix.infer(data)
+    for sub, m in zip(inf.sub_states(), mix._models):
+        ref = m.infer(data)
+        assert sub.states().shape[1] == m.state_size
+        np.testing.assert_allclose(sub.states(), ref.states(), rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(
+            sub.covariances_array(), ref.covariances_array(), rtol=1e-7, atol=1e-9
+        )
+    sm_ref = inf.smoothed(mix).numpy()
+    np.testing.assert_allclose(mix.smooth(data).numpy(), sm_ref, rtol=1e-8, atol=1e-10)
+    ex_ref = inf.extrapolated(mix, data).numpy()
+    np.testing.assert_allclose(mix.extrapolate(data).numpy(), ex_ref, rtol=1e-8, atol=1e-10)
+
+    # monotone llk through several heterogeneous fused iterations
+    cur, prev = mix, mix.llk(data)
+    for _ in range(5):
+        cur = cur.iterate(data)
+        llk = cur.llk(data)
+        assert llk >= prev - 1e-8
+        prev = llk
