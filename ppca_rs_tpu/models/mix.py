@@ -58,6 +58,50 @@ def _mix_llks_jit(Cs, means, sigmas, data, mask, block_size):
 
 
 @functools.partial(jax.jit, static_argnames=("block_size",))
+def _mix_em_pat_jit(Cs, means, sigmas, log_weights, data, mask, pidx, pats,
+                    weights, tprec, noise_prior, mean_prior, block_size):
+    stats = mf.mix_em_stats_pat(
+        Cs, means, sigmas, log_weights, data, mask, pidx, pats, weights,
+        block_size=block_size,
+    )
+    new_Cs, new_means, new_sigmas, new_logw = mf.mix_em_finalize(
+        Cs, means, sigmas, stats,
+        transformation_precision=tprec,
+        noise_prior=noise_prior,
+        mean_prior=mean_prior,
+    )
+    return new_Cs, new_means, new_sigmas, new_logw, stats.llk
+
+
+def _mix_em_pat_jit_adapter(pat, Cs, means, sigmas, log_weights, data, mask,
+                            weights, tprec, noise_prior, mean_prior, block_size):
+    """Adapter binding (pidx, patterns) onto _mix_em_jit's signature."""
+    return _mix_em_pat_jit(Cs, means, sigmas, log_weights, data, mask,
+                           pat[0], pat[1], weights, tprec, noise_prior,
+                           mean_prior, block_size)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _mix_llks_pat_jit(Cs, means, sigmas, data, mask, pidx, pats, block_size):
+    return mf.mix_llks(Cs, means, sigmas, data, mask,
+                       block_size=block_size, pidx=pidx, patterns=pats)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _mix_infer_pat_jit(Cs, means, sigmas, log_weights, data, mask, pidx, pats, block_size):
+    return mf.mix_infer(Cs, means, sigmas, log_weights, data, mask,
+                        block_size=block_size, pidx=pidx, patterns=pats)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "extrapolate"))
+def _mix_smooth_pat_jit(Cs, means, sigmas, log_weights, data, mask, pidx, pats,
+                        block_size, extrapolate):
+    return mf.mix_smooth(Cs, means, sigmas, log_weights, data, mask,
+                         block_size=block_size, extrapolate=extrapolate,
+                         pidx=pidx, patterns=pats)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
 def _mix_infer_jit(Cs, means, sigmas, log_weights, data, mask, block_size):
     return mf.mix_infer(
         Cs, means, sigmas, log_weights, data, mask, block_size=block_size
@@ -210,6 +254,23 @@ class PPCAMix:
             jnp.stack([m._isotropic_noise for m in self._models]),
         )
 
+    def _pattern(self, dataset: Dataset):
+        """(pidx, patterns) for the mixture's pattern-table path, or None.
+        A fully-observed dataset is the trivial single-pattern case — this is
+        how dense mixtures get a fast path (the single-model dense path is
+        ops/dense_fast.py; mixtures share the table machinery instead)."""
+        from ..config import config
+        from ..parallel.mesh import dataset_mesh
+
+        if not config.use_pattern_dedup or dataset_mesh(dataset) is not None:
+            return None
+        if dataset.all_observed() and not dataset.is_empty():
+            return (
+                jnp.zeros((dataset.padded_len,), jnp.int32),
+                jnp.ones((1, dataset.output_size()), bool),
+            )
+        return dataset.pattern_info()
+
     def _mix_block(self, dataset: Dataset, mesh) -> int:
         from ..parallel.mesh import DATA_AXIS
 
@@ -233,6 +294,11 @@ class PPCAMix:
         block = self._mix_block(dataset, mesh)
         with _precision(self._output_size):
             if mesh is None:
+                pat = self._pattern(dataset)
+                if pat is not None:
+                    return _mix_llks_pat_jit(
+                        Cs, means, sigmas, dataset.data, dataset.mask, *pat, block
+                    )
                 return _mix_llks_jit(Cs, means, sigmas, dataset.data, dataset.mask, block)
             from ..parallel.api import fns_for
 
@@ -309,11 +375,18 @@ class PPCAMix:
             # zero-padded; each component's readout slices back to its k.
             Cs, means, sigmas = self._stacked_params()
             block = self._mix_block(dataset, None)
+            pat = self._pattern(dataset)
             with _precision(self._output_size):
-                log_post, states, covs = _mix_infer_jit(
-                    Cs, means, sigmas, self._log_weights,
-                    dataset.data, dataset.mask, block,
-                )
+                if pat is not None:
+                    log_post, states, covs = _mix_infer_pat_jit(
+                        Cs, means, sigmas, self._log_weights,
+                        dataset.data, dataset.mask, *pat, block,
+                    )
+                else:
+                    log_post, states, covs = _mix_infer_jit(
+                        Cs, means, sigmas, self._log_weights,
+                        dataset.data, dataset.mask, block,
+                    )
             inferred = [
                 InferredMasked(m, states[i, :n, : m.state_size],
                                covs[i, :n, : m.state_size, : m.state_size])
@@ -332,11 +405,18 @@ class PPCAMix:
             return None
         Cs, means, sigmas = self._stacked_params()
         block = self._mix_block(dataset, None)
+        pat = self._pattern(dataset)
         with _precision(self._output_size):
-            out = _mix_smooth_jit(
-                Cs, means, sigmas, self._log_weights,
-                dataset.data, dataset.mask, block, extrapolate,
-            )
+            if pat is not None:
+                out = _mix_smooth_pat_jit(
+                    Cs, means, sigmas, self._log_weights,
+                    dataset.data, dataset.mask, *pat, block, extrapolate,
+                )
+            else:
+                out = _mix_smooth_jit(
+                    Cs, means, sigmas, self._log_weights,
+                    dataset.data, dataset.mask, block, extrapolate,
+                )
         return Dataset.unmasked(out[: len(dataset)])
 
     def smooth(self, dataset: Dataset) -> Dataset:
@@ -412,7 +492,11 @@ class PPCAMix:
 
         mesh = dataset_mesh(dataset)
         if mesh is None:
-            step = _mix_em_jit
+            pat = self._pattern(dataset)
+            if pat is not None:
+                step = functools.partial(_mix_em_pat_jit_adapter, pat)
+            else:
+                step = _mix_em_jit
             block = block_size_for(
                 max(1, dataset.padded_len // max(1, len(self._models)))
             )

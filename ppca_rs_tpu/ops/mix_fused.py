@@ -130,6 +130,60 @@ def _block_post(Cs, CCs, means, sigmas, datab, mask_f,
     return R, llks, s, SM, sq_b
 
 
+def compute_mix_tables(Cs, sigmas, patterns_f):
+    """Per-(component, pattern) E-step tables: with P distinct mask patterns
+    every mask-only quantity is computed M*P times instead of M*N times.
+    Returns (Sigma (M, P, k^2), pat_llk (M, P), sq (M, P)) — the mixture twin
+    of ops/pattern_dedup.compute_tables.  A fully-observed dataset is the
+    P = 1 special case, which is how dense mixtures get their fast path."""
+    from . import pattern_dedup as pdd
+
+    M = Cs.shape[0]
+    tables = [pdd.compute_tables(Cs[m], sigmas[m], patterns_f) for m in range(M)]
+    return (
+        jnp.stack([t.Sigma for t in tables]),
+        jnp.stack([t.pat_llk for t in tables]),
+        jnp.stack([t.sq for t in tables]),
+    )
+
+
+def _block_post_pat(Cs, means, sigmas, tables, datab, mask_f, pidx,
+                    need_R: bool = True):
+    """Table-driven per-component posteriors for one block: no per-sample
+    factorization at all — gather Sigma_{m, p(b)} and one batched mat-vec.
+    Returns (R, llks, s, Sig_b, sq_b) with Sig_b the gathered (M, B, k^2).
+
+    ``need_R=False`` (the readout verbs) avoids the (M, B, D) centered-data
+    temporary: projections become shared matmuls against mask*data and mask,
+    and |r|^2 uses the mean0-centered expansion (full-precision products, see
+    _lane_major_prep for the conditioning argument)."""
+    Sigma, pat_llk, sq_tab = tables
+    M, D_loc, k = Cs.shape
+    B = datab.shape[0]
+    if need_R:
+        R = mask_f[None, :, :] * (datab[None, :, :] - means[:, None, :])  # (M,B,D)
+        b = jnp.einsum("mbd,mdk->mbk", R, Cs)                             # (M,B,k)
+        rnorm = jnp.sum(R * R, axis=-1)                                   # (M,B)
+    else:
+        R = None
+        mean0 = jnp.mean(means, axis=0)
+        dm = means - mean0                                                # (M,D)
+        md0 = mask_f * (datab - mean0)                                    # (B,D)
+        b = (jnp.einsum("bd,mdk->mbk", md0, Cs)
+             - jnp.einsum("bd,mdk->mbk", mask_f, Cs * dm[:, :, None]))
+        hp = jax.lax.Precision.HIGHEST
+        rd2 = jnp.sum(md0 * md0, axis=-1)                                 # (B,)
+        mdm = jnp.matmul(md0, dm.T, precision=hp)                         # (B,M)
+        m2 = jnp.matmul(mask_f, (dm * dm).T, precision=hp)                # (B,M)
+        rnorm = (rd2[:, None] - 2.0 * mdm + m2).T                         # (M,B)
+    Sig_b = jnp.take(Sigma, pidx, axis=1)                                 # (M,B,k^2)
+    sigma2 = (sigmas * sigmas)[:, None]
+    s = jnp.einsum("mbij,mbj->mbi", Sig_b.reshape(M, B, k, k), b) / sigma2[..., None]
+    quad = (rnorm - jnp.sum(b * s, axis=-1)) / sigma2
+    llks = jnp.take(pat_llk, pidx, axis=1) - 0.5 * quad                   # (M,B)
+    return R, llks, s, Sig_b, jnp.take(sq_tab, pidx, axis=1)
+
+
 def _block_mix(Cs, CCs, means, sigmas, log_weights, datab, mask_f, w,
                use_kernel: bool, axis_model: Optional[str]):
     """One block: per-component posteriors + responsibilities + weighted
@@ -235,12 +289,31 @@ def _block_llks_kernel(lane_prep, means, sigmas, datab, mask_f,
 
 
 def mix_llks(Cs, means, sigmas, data, mask, *, block_size: int,
-             axis_model: Optional[str] = None) -> jax.Array:
+             axis_model: Optional[str] = None,
+             pidx=None, patterns=None) -> jax.Array:
     """(N, M) per-component per-sample log-likelihoods in ONE pass — the
     fused replacement for M separate llks scans (`mix.rs:137-159` runs each
-    component's llks over the whole dataset)."""
+    component's llks over the whole dataset).  With ``pidx``/``patterns``
+    the per-(component, pattern) tables replace all factorizations."""
     n = data.shape[0]
     M = Cs.shape[0]
+    if pidx is not None:
+        dtype, _, _, (data3, mask3, pidx3) = _mix_prep(
+            Cs, data, block_size, axis_model, mask, pidx
+        )
+        tables = compute_mix_tables(Cs, sigmas, patterns.astype(dtype))
+
+        def body_pat(_, xs):
+            datab, maskb, pb = xs
+            _, llks, _, _, _ = _block_post_pat(
+                Cs, means, sigmas, tables, datab.astype(dtype),
+                maskb.astype(dtype), pb, need_R=False,
+            )
+            return None, llks.T
+
+        _, out = lax.scan(body_pat, None, (data3, mask3, pidx3))
+        return out.reshape(-1, M)[:n]
+
     dtype, CCs, use_kernel, (data3, mask3) = _mix_prep(
         Cs, data, block_size, axis_model, mask
     )
@@ -265,27 +338,44 @@ def mix_llks(Cs, means, sigmas, data, mask, *, block_size: int,
 
 
 def mix_infer(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
-              axis_model: Optional[str] = None):
+              axis_model: Optional[str] = None, pidx=None, patterns=None):
     """Fused mixture inference: ONE pass produces the (N, M) log-posteriors
     plus every component's posterior states (M, N, k) and covariances
     (M, N, k, k) — vs the reference's M llks passes + M infer passes
     (`mix.rs:205-236`).  Covariances come from the "infer" variant
-    (sigma^2 M^{-1} directly, no SM - s s^T cancellation)."""
+    (sigma^2 M^{-1} directly, no SM - s s^T cancellation) or straight from
+    the pattern tables when ``pidx``/``patterns`` are given."""
     n = data.shape[0]
     M, _, k = Cs.shape
-    dtype, CCs, use_kernel, (data3, mask3) = _mix_prep(
-        Cs, data, block_size, axis_model, mask
-    )
-
-    def body(_, xs):
-        datab, maskb = xs
-        _, llks, s, Sig, _ = _block_post(
-            Cs, CCs, means, sigmas, datab.astype(dtype), maskb.astype(dtype),
-            use_kernel, axis_model, "infer",
+    if pidx is not None:
+        dtype, _, _, (data3, mask3, pidx3) = _mix_prep(
+            Cs, data, block_size, axis_model, mask, pidx
         )
-        return None, (llks.T, s, Sig.reshape(M, -1, k, k))
+        tables = compute_mix_tables(Cs, sigmas, patterns.astype(dtype))
 
-    _, (llks, s, covs) = lax.scan(body, None, (data3, mask3))
+        def body_pat(_, xs):
+            datab, maskb, pb = xs
+            _, llks, s, Sig_b, _ = _block_post_pat(
+                Cs, means, sigmas, tables, datab.astype(dtype),
+                maskb.astype(dtype), pb, need_R=False,
+            )
+            return None, (llks.T, s, Sig_b.reshape(M, -1, k, k))
+
+        _, (llks, s, covs) = lax.scan(body_pat, None, (data3, mask3, pidx3))
+    else:
+        dtype, CCs, use_kernel, (data3, mask3) = _mix_prep(
+            Cs, data, block_size, axis_model, mask
+        )
+
+        def body(_, xs):
+            datab, maskb = xs
+            _, llks, s, Sig, _ = _block_post(
+                Cs, CCs, means, sigmas, datab.astype(dtype), maskb.astype(dtype),
+                use_kernel, axis_model, "infer",
+            )
+            return None, (llks.T, s, Sig.reshape(M, -1, k, k))
+
+        _, (llks, s, covs) = lax.scan(body, None, (data3, mask3))
     n_pad = llks.shape[0] * llks.shape[1]
     log_post = llks.reshape(n_pad, M) + log_weights[None, :]
     mx = jnp.max(log_post, axis=-1, keepdims=True)
@@ -298,21 +388,33 @@ def mix_infer(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
 
 
 def mix_smooth(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
-               axis_model: Optional[str] = None, extrapolate: bool = False):
+               axis_model: Optional[str] = None, extrapolate: bool = False,
+               pidx=None, patterns=None):
     """Fused posterior-weighted smoothing (`mix.rs:239-251`) — or, with
     ``extrapolate=True``, extrapolation (`mix.rs:253-265`) — end to end in
     one pass: no (M, N, ...) intermediate ever materializes."""
     n = data.shape[0]
-    dtype, CCs, use_kernel, (data3, mask3) = _mix_prep(
-        Cs, data, block_size, axis_model, mask
+    dtype, CCs, use_kernel, (data3, mask3, *rest) = _mix_prep(
+        Cs, data, block_size, axis_model, mask,
+        *([pidx] if pidx is not None else []),
     )
-    lane_prep = _lane_major_prep(Cs, means, CCs) if use_kernel else None
+    if pidx is not None:
+        tables = compute_mix_tables(Cs, sigmas, patterns.astype(dtype))
+        pidx3 = rest[0]
+    lane_prep = _lane_major_prep(Cs, means, CCs) if use_kernel and pidx is None else None
 
     def body(_, xs):
-        datab, maskb = xs
+        if pidx is not None:
+            datab, maskb, pb = xs
+        else:
+            datab, maskb = xs
         datab = datab.astype(dtype)
         mask_f = maskb.astype(dtype)
-        if use_kernel:
+        if pidx is not None:
+            _, llks, s, _, _ = _block_post_pat(
+                Cs, means, sigmas, tables, datab, mask_f, pb, need_R=False
+            )
+        elif use_kernel:
             llks, s = _block_llks_kernel(
                 lane_prep, means, sigmas, datab, mask_f, axis_model, "states"
             )
@@ -333,7 +435,8 @@ def mix_smooth(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
             sm = jnp.where(maskb, datab, sm)
         return None, sm
 
-    _, out = lax.scan(body, None, (data3, mask3))
+    xs = (data3, mask3, pidx3) if pidx is not None else (data3, mask3)
+    _, out = lax.scan(body, None, xs)
     return out.reshape(-1, data.shape[1])[:n]
 
 
@@ -370,6 +473,84 @@ def mix_em_stats(Cs, means, sigmas, log_weights, data, mask, weights, *,
         for x in (small[0], small[1], small[2], small[3], small[4], small[6])
     )
     resp_max = jnp.max(small[5], axis=0)
+    return MixEMStats(cross, S, square_error, dev_sq, total_dev, totals,
+                      resp_sum, resp_max, llk)
+
+
+def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
+                     weights, *, block_size: int) -> MixEMStats:
+    """Pattern-deduplicated fused mixture EM statistics: all factorizations
+    collapse to the M x P tables, the ``S`` statistic is grouped per pattern
+    (per-pattern responsibility-weighted outer-product sums via a one-hot MXU
+    matmul when P <= D, then one (P, D) contraction), and ``square_error``
+    and ``totals`` become P-sized sums.  Algebraically identical to
+    :func:`mix_em_stats`; a fully-observed dataset is the P = 1 case (the
+    dense-mixture fast path)."""
+    n, _ = data.shape
+    M, D_loc, k = Cs.shape
+    dtype = ml.compute_dtype(data.dtype, Cs.dtype)
+    patterns_f = patterns.astype(dtype)
+    P = patterns_f.shape[0]
+    tables = compute_mix_tables(Cs, sigmas, patterns_f)
+    group_outer = P <= D_loc
+    _, (data3, mask3, pidx3, w2) = _pad_blocks(n, block_size, data, mask, pidx, weights)
+
+    def body(acc, xs):
+        datab, maskb, pb, w = xs
+        datab = datab.astype(dtype)
+        mask_f = maskb.astype(dtype)
+        w = w.astype(dtype)
+        B = datab.shape[0]
+        R, llks, s, _, sq_b = _block_post_pat(
+            Cs, means, sigmas, tables, datab, mask_f, pb
+        )
+
+        joint = llks + log_weights[:, None]                 # (M,B)
+        lse = _logsumexp0(joint)
+        post = jnp.exp(joint - lse[None, :])
+        llk_mix = jnp.sum(w * lse)
+        resp = post * w[None, :]
+
+        cross = jnp.einsum("mbd,mbk->mdk", R, s * resp[..., None])
+        outer_s = (s[..., :, None] * s[..., None, :]).reshape(M, B, k * k)
+        onehot = (pb[:, None] == jnp.arange(P, dtype=pb.dtype)[None, :]).astype(dtype)
+        wsum = jnp.einsum("mb,bp->mp", resp, onehot)        # (M,P)
+        if group_outer:
+            Souter = jnp.einsum("bp,mbq->mpq", onehot, outer_s * resp[..., None])
+        else:
+            Souter = jnp.einsum("bd,mbq->mdq", mask_f, outer_s * resp[..., None])
+
+        dev = mask_f[None] * (datab[None] - jnp.einsum("mbk,mdk->mbd", s, Cs)
+                              - means[:, None, :])
+        dev_sq = jnp.sum(resp * jnp.sum(dev * dev, axis=-1), axis=-1)
+        total_dev = jnp.einsum("mb,mbd->md", resp, dev)
+        square_error = jnp.sum(resp * sq_b, axis=-1)
+        resp_sum = jnp.sum(resp, axis=-1)
+        resp_max = jnp.max(resp, axis=-1)
+
+        big = (acc[0] + cross, acc[1] + Souter, acc[2] + wsum)
+        small = (square_error, dev_sq, total_dev, resp_sum, resp_max, llk_mix)
+        return big, small
+
+    souter_shape = (M, P, k * k) if group_outer else (M, D_loc, k * k)
+    zero = (
+        jnp.zeros((M, D_loc, k), dtype),
+        jnp.zeros(souter_shape, dtype),
+        jnp.zeros((M, P), dtype),
+    )
+    (cross, Souter, wsum), small = lax.scan(body, zero, (data3, mask3, pidx3, w2))
+    square_error, dev_sq, total_dev, resp_sum, llk = (
+        jnp.sum(x, axis=0)
+        for x in (small[0], small[1], small[2], small[3], small[5])
+    )
+    resp_max = jnp.max(small[4], axis=0)
+
+    Sigma = tables[0]                                        # (M,P,k^2)
+    if group_outer:
+        S = jnp.einsum("pd,mpq->mdq", patterns_f, Souter + wsum[..., None] * Sigma)
+    else:
+        S = Souter + jnp.einsum("pd,mpq->mdq", patterns_f, wsum[..., None] * Sigma)
+    totals = jnp.einsum("mp,pd->md", wsum, patterns_f)
     return MixEMStats(cross, S, square_error, dev_sq, total_dev, totals,
                       resp_sum, resp_max, llk)
 

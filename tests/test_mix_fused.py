@@ -115,6 +115,132 @@ def test_fused_inference_verbs_match_loop(rng):
     np.testing.assert_allclose(mix.extrapolate(ds).numpy(), ex_ref, rtol=1e-8, atol=1e-10)
 
 
+def _mk_patterned_mix_data(rng, n=96, d=9, n_patterns=4, weights=True):
+    pats = rng.random((n_patterns, d)) < 0.65
+    pats[0, :] = True
+    idx = rng.integers(0, n_patterns, size=n)
+    values = rng.normal(size=(n, d))
+    values[~pats[idx]] = np.nan
+    w = rng.random(n) + 0.3 if weights else None
+    return Dataset(values, weights=w)
+
+
+def test_mix_pattern_path_matches_general(rng):
+    """Mixture EM + verbs through the pattern-table path must equal the
+    general fused path and the reference-shaped loop."""
+    from ppca_rs_tpu.config import config
+
+    ds = _mk_patterned_mix_data(rng)
+    models = [
+        PPCAModel(isotropic_noise=0.4 + 0.1 * i,
+                  transform=rng.normal(size=(9, 2)), mean=rng.normal(size=9))
+        for i in range(3)
+    ]
+    mix = PPCAMix(models, rng.normal(size=3))
+    assert mix._pattern(ds) is not None
+
+    prior = Prior().with_isotropic_noise_prior(2.0, 2.0).with_transformation_precision(0.2)
+    pat_em, llk_pat = mix._iterate_fused(ds, prior)
+    pat_llks = mix._component_llks(ds)
+    pat_inf = mix.infer(ds)
+    pat_sm = mix.smooth(ds).numpy()
+    pat_ex = mix.extrapolate(ds).numpy()
+
+    config.use_pattern_dedup = False
+    try:
+        gen_em, llk_gen = mix._iterate_fused(ds, prior)
+        loop_em, llk_loop = mix._iterate_loop(ds, prior)
+        gen_llks = mix._component_llks(ds)
+        gen_inf = mix.infer(ds)
+        gen_sm = mix.smooth(ds).numpy()
+        gen_ex = mix.extrapolate(ds).numpy()
+    finally:
+        config.use_pattern_dedup = True
+
+    np.testing.assert_allclose(pat_llks, gen_llks, rtol=1e-9, atol=1e-11)
+    assert np.isclose(llk_pat, llk_gen, rtol=1e-10) and np.isclose(llk_pat, llk_loop, rtol=1e-10)
+    for a, b, c in zip(pat_em.models, gen_em.models, loop_em.models):
+        np.testing.assert_allclose(a.transform, b.transform, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(a.transform, c.transform, rtol=1e-7, atol=1e-9)
+        assert np.isclose(a.isotropic_noise, b.isotropic_noise, rtol=1e-9)
+    np.testing.assert_allclose(pat_em.log_weights, gen_em.log_weights, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(pat_inf.log_posteriors(), gen_inf.log_posteriors(),
+                               rtol=1e-9, atol=1e-11)
+    for a, b in zip(pat_inf.sub_states(), gen_inf.sub_states()):
+        np.testing.assert_allclose(a.states(), b.states(), rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(a.covariances_array(), b.covariances_array(),
+                                   rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(pat_sm, gen_sm, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(pat_ex, gen_ex, rtol=1e-8, atol=1e-10)
+
+
+def test_dense_mixture_fast_path(rng):
+    """A fully-observed dataset takes the P=1 pattern-table path in the
+    mixture; results equal the general fused path and EM stays monotone."""
+    from ppca_rs_tpu.config import config
+
+    models = [
+        PPCAModel(isotropic_noise=0.5, transform=rng.normal(size=(6, 2)),
+                  mean=rng.normal(size=6))
+        for _ in range(2)
+    ]
+    mix = PPCAMix(models, np.zeros(2))
+    ds = Dataset(rng.normal(size=(80, 6)))
+    assert ds.all_observed()
+    pat = mix._pattern(ds)
+    assert pat is not None and pat[1].shape == (1, 6)
+
+    llk_pat = mix.llk(ds)
+    new_pat, _ = mix._iterate_fused(ds, Prior())
+    config.use_pattern_dedup = False
+    try:
+        llk_gen = mix.llk(ds)
+        new_gen, _ = mix._iterate_fused(ds, Prior())
+    finally:
+        config.use_pattern_dedup = True
+    assert np.isclose(llk_pat, llk_gen, rtol=1e-10)
+    for a, b in zip(new_pat.models, new_gen.models):
+        np.testing.assert_allclose(a.transform, b.transform, rtol=1e-8, atol=1e-10)
+
+    cur, prev = mix, llk_pat
+    for _ in range(5):
+        cur = cur.iterate(ds)
+        llk = cur.llk(ds)
+        assert llk >= prev - 1e-8
+        prev = llk
+
+
+def test_mix_pattern_group_outer_both_branches(rng):
+    """P > D exercises the direct (non-grouped) S branch of the pattern EM."""
+    from ppca_rs_tpu.config import config
+
+    explicit = np.array([
+        [1, 1, 1], [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 0, 0],
+    ], dtype=bool)
+    idx = rng.integers(0, len(explicit), size=128)
+    values = rng.normal(size=(128, 3))
+    values[~explicit[idx]] = np.nan
+    ds = Dataset(values, weights=rng.random(128) + 0.3)
+    pats = ds.pattern_info()
+    assert pats is not None and pats[1].shape[0] > 3
+    models = [
+        PPCAModel(isotropic_noise=0.5, transform=rng.normal(size=(3, 1)),
+                  mean=rng.normal(size=3))
+        for _ in range(2)
+    ]
+    mix = PPCAMix(models, np.zeros(2))
+    new_pat, llk_pat = mix._iterate_fused(ds, Prior())
+    config.use_pattern_dedup = False
+    try:
+        new_gen, llk_gen = mix._iterate_fused(ds, Prior())
+    finally:
+        config.use_pattern_dedup = True
+    assert np.isclose(llk_pat, llk_gen, rtol=1e-10)
+    for a, b in zip(new_pat.models, new_gen.models):
+        np.testing.assert_allclose(a.transform, b.transform, rtol=1e-8, atol=1e-10)
+        assert np.isclose(a.isotropic_noise, b.isotropic_noise, rtol=1e-9)
+
+
 def test_dead_component_keeps_params(rng):
     """A component dominated everywhere gets responsibility exactly 0
     (exp underflow); the fused EM must keep its old parameters and the
