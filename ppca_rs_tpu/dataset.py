@@ -159,8 +159,12 @@ class Dataset:
     @property
     def weights(self) -> "_WeightsView":
         """Per-sample weights as numpy (real rows only).  Callable for
-        drop-in parity with the reference's ``weights()`` method."""
-        return self.weights_numpy().view(_WeightsView)
+        drop-in parity with the reference's ``weights()`` method.  Read-only:
+        each access materializes a fresh copy from the device array, so
+        in-place writes would be silently discarded — use ``with_weights``."""
+        view = self.weights_numpy().view(_WeightsView)
+        view.setflags(write=False)
+        return view
 
     @property
     def padded_len(self) -> int:
@@ -195,7 +199,7 @@ class Dataset:
                 self._all_observed = observed == len(self) * int(self.data.shape[1])
         return self._all_observed
 
-    def pattern_info(self):
+    def pattern_info(self, include_dense: bool = False):
         """Distinct-mask-pattern table for the dedup fast path
         (ops/pattern_dedup.py), or ``None`` when it would not pay off.
 
@@ -211,20 +215,31 @@ class Dataset:
         the dataset to the general path.  For large datasets a prefix sample
         of hashes is checked first so unstructured (all-rows-distinct) masks
         only ever pay for the sample.  The result is cached; ``with_weights``
-        and ``astype`` share the cache (same mask)."""
+        and ``astype`` share the cache (same mask).  The config gate is
+        re-checked on every call, so toggling ``config.use_pattern_dedup``
+        takes effect even for datasets with already-cached patterns.
+
+        ``include_dense=True`` (the mixture path) also returns the trivial
+        single-pattern table for fully-observed data — the single-model path
+        leaves that case to its dedicated dense code (ops/dense_fast.py)."""
         from .config import config
 
+        if not config.use_pattern_dedup:
+            return None
         if self._patterns is not None:
             return self._patterns or None  # False => checked, not profitable
         n = self.padded_len
-        if (
-            not config.use_pattern_dedup
-            or self.is_empty()
-            or n < 2 * config.pattern_min_ratio
-            or self.all_observed()
-        ):
+        if self.is_empty() or n < 2 * config.pattern_min_ratio:
             self._patterns = False
             return None
+        if self.all_observed():
+            if include_dense:
+                self._patterns = (
+                    jnp.zeros((n,), jnp.int32),
+                    jnp.ones((1, int(self.data.shape[1])), bool),
+                )
+                return self._patterns
+            return None  # uncached: a later include_dense call may want it
         # Sharded datasets keep the general path (pattern tables would need
         # a cross-shard unique); see parallel/mesh.py.
         if len(self.mask.sharding.device_set) > 1:

@@ -259,17 +259,11 @@ class PPCAMix:
         A fully-observed dataset is the trivial single-pattern case — this is
         how dense mixtures get a fast path (the single-model dense path is
         ops/dense_fast.py; mixtures share the table machinery instead)."""
-        from ..config import config
         from ..parallel.mesh import dataset_mesh
 
-        if not config.use_pattern_dedup or dataset_mesh(dataset) is not None:
+        if dataset_mesh(dataset) is not None:
             return None
-        if dataset.all_observed() and not dataset.is_empty():
-            return (
-                jnp.zeros((dataset.padded_len,), jnp.int32),
-                jnp.ones((1, dataset.output_size()), bool),
-            )
-        return dataset.pattern_info()
+        return dataset.pattern_info(include_dense=True)
 
     def _mix_block(self, dataset: Dataset, mesh) -> int:
         from ..parallel.mesh import DATA_AXIS
@@ -283,10 +277,9 @@ class PPCAMix:
         """(N_padded, M) per-component per-sample log-likelihoods, on device
         (padding rows are neutral: all-masked rows have zero llk).
 
-        Equal state sizes take ONE fused pass over the data for all M
-        components (ops/mix_fused.py); heterogeneous mixtures fall back to M
-        per-component scans (the reference always makes M passes,
-        `mix.rs:283-288`)."""
+        ONE fused pass over the data for all M components (ops/mix_fused.py);
+        the reference makes M passes (`mix.rs:283-288`).  Heterogeneous state
+        sizes ride the same pass zero-padded (see _stacked_params)."""
         from ..parallel.mesh import MODEL_AXIS, dataset_mesh
 
         Cs, means, sigmas = self._stacked_params()

@@ -62,9 +62,9 @@ LANE = 128
 # VMEM sizing: the "full" variant holds A double-buffered (2x) + Res + the
 # pipelined SM output (2x) = ~5 k^2 LANE f32 in VMEM.  The v5e has 128 MB of
 # physical VMEM; the default Mosaic limit is ~16 MB (which capped k at 72 in
-# round 1) and is raised per-call via CompilerParams(vmem_limit_bytes) below.
-VMEM_BUDGET = 110 * 1024 * 1024
-MAX_K = 192  # 5 * 192^2 * 128 * 4B = 94 MB
+# round 1) and is raised per-call via CompilerParams(vmem_limit_bytes) below
+# (clamped to the 128 MB physical capacity).
+MAX_K = 192  # 5 * 192^2 * 128 * 4B = 94 MB + temporaries fits in 128 MB
 
 WANTS = ("llk", "states", "full", "infer")
 # "infer" = same loop as "full" but the second output is the posterior

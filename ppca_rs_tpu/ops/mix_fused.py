@@ -134,43 +134,88 @@ def compute_mix_tables(Cs, sigmas, patterns_f):
     """Per-(component, pattern) E-step tables: with P distinct mask patterns
     every mask-only quantity is computed M*P times instead of M*N times.
     Returns (Sigma (M, P, k^2), pat_llk (M, P), sq (M, P)) — the mixture twin
-    of ops/pattern_dedup.compute_tables.  A fully-observed dataset is the
-    P = 1 special case, which is how dense mixtures get their fast path."""
+    of ops/pattern_dedup.compute_tables, with all M*P problems stacked on the
+    kernel's lane axis in ONE call.  A fully-observed dataset is the P = 1
+    special case, which is how dense mixtures get their fast path."""
     from . import pattern_dedup as pdd
 
-    M = Cs.shape[0]
-    tables = [pdd.compute_tables(Cs[m], sigmas[m], patterns_f) for m in range(M)]
-    return (
-        jnp.stack([t.Sigma for t in tables]),
-        jnp.stack([t.pat_llk for t in tables]),
-        jnp.stack([t.sq for t in tables]),
-    )
+    M, D_loc, k = Cs.shape
+    P = patterns_f.shape[0]
+    dtype = patterns_f.dtype
+    CCs = (Cs[:, :, :, None] * Cs[:, :, None, :]).reshape(M, D_loc, k * k)
+    G = jnp.einsum("pd,mdq->mpq", patterns_f, CCs)            # (M,P,k^2)
+    d_obs = jnp.sum(patterns_f, axis=-1)                      # (P,)
+    sig = sigmas.astype(dtype)
+
+    if pdd._use_kernel_for_tables(k, dtype):
+        from . import kernels
+
+        lane = kernels.LANE
+        MP = M * P
+        MPp = -(-MP // lane) * lane
+        G3 = jnp.pad(
+            G.reshape(MP, k, k), ((0, MPp - MP), (0, 0), (0, 0))
+        ).transpose(1, 2, 0)
+        # padded lanes get sigma = 1 so their (discarded) values stay finite
+        sig_lane = jnp.pad(jnp.repeat(sig, P), (0, MPp - MP), constant_values=1.0)
+        dob = jnp.pad(jnp.tile(d_obs, M), (0, MPp - MP))
+        zeros_b = jnp.zeros((k, MPp), dtype)
+        zeros_r = jnp.zeros((1, MPp), dtype)
+        # With b = 0 the kernel returns SM = sigma^2 M^{-1}, the mask-only llk
+        # term, and sq = tr(G Sigma) directly.
+        _, SM3, llk, sq = kernels.spd_estep(
+            sig_lane[None, :], G3, zeros_b, zeros_r, dob[None, :]
+        )
+        Sigma = SM3.reshape(k * k, MPp).T[:MP].reshape(M, P, k * k)
+        return Sigma, llk[0, :MP].reshape(M, P), sq[0, :MP].reshape(M, P)
+
+    sigma2 = (sig * sig)[:, None, None, None]
+    Mm = G.reshape(M, P, k, k) + sigma2 * jnp.eye(k, dtype=dtype)
+    L = jnp.linalg.cholesky(Mm)
+    eye = jnp.broadcast_to(jnp.eye(k, dtype=dtype), Mm.shape)
+    Sigma = (sigma2 * jax.scipy.linalg.cho_solve((L, True), eye)).reshape(M, P, k * k)
+    if k > 0:
+        logdet_m = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    else:
+        logdet_m = jnp.zeros((M, P), dtype)
+    logdet = logdet_m + 2.0 * jnp.log(sig)[:, None] * (d_obs[None, :] - k)
+    pat_llk = -0.5 * (logdet + LN_2PI * d_obs[None, :])
+    sq = jnp.sum(G * Sigma, axis=-1)
+    return Sigma, pat_llk, sq
+
+
+def _center_prep(Cs, means):
+    """Loop-invariant component-centering operands for the no-R fast path
+    (hoisted out of the scan; see _lane_major_prep for the mean0-centering
+    conditioning argument)."""
+    mean0 = jnp.mean(means, axis=0)
+    dm = means - mean0                                        # (M,D)
+    return mean0, dm, Cs * dm[:, :, None]                     # Cdm (M,D,k)
 
 
 def _block_post_pat(Cs, means, sigmas, tables, datab, mask_f, pidx,
-                    need_R: bool = True):
+                    center=None):
     """Table-driven per-component posteriors for one block: no per-sample
     factorization at all — gather Sigma_{m, p(b)} and one batched mat-vec.
     Returns (R, llks, s, Sig_b, sq_b) with Sig_b the gathered (M, B, k^2).
 
-    ``need_R=False`` (the readout verbs) avoids the (M, B, D) centered-data
-    temporary: projections become shared matmuls against mask*data and mask,
-    and |r|^2 uses the mean0-centered expansion (full-precision products, see
-    _lane_major_prep for the conditioning argument)."""
+    With ``center`` (from :func:`_center_prep`; the readout verbs) the
+    (M, B, D) centered-data temporary is avoided: projections become shared
+    matmuls against mask*data and mask, |r|^2 uses the mean0-centered
+    expansion at full product precision, and R is returned as None."""
     Sigma, pat_llk, sq_tab = tables
     M, D_loc, k = Cs.shape
     B = datab.shape[0]
-    if need_R:
+    if center is None:
         R = mask_f[None, :, :] * (datab[None, :, :] - means[:, None, :])  # (M,B,D)
         b = jnp.einsum("mbd,mdk->mbk", R, Cs)                             # (M,B,k)
         rnorm = jnp.sum(R * R, axis=-1)                                   # (M,B)
     else:
         R = None
-        mean0 = jnp.mean(means, axis=0)
-        dm = means - mean0                                                # (M,D)
+        mean0, dm, Cdm = center
         md0 = mask_f * (datab - mean0)                                    # (B,D)
         b = (jnp.einsum("bd,mdk->mbk", md0, Cs)
-             - jnp.einsum("bd,mdk->mbk", mask_f, Cs * dm[:, :, None]))
+             - jnp.einsum("bd,mdk->mbk", mask_f, Cdm))
         hp = jax.lax.Precision.HIGHEST
         rd2 = jnp.sum(md0 * md0, axis=-1)                                 # (B,)
         mdm = jnp.matmul(md0, dm.T, precision=hp)                         # (B,M)
@@ -223,6 +268,17 @@ def _mix_prep(Cs, data, block_size, axis_model, *arrays):
     use_kernel = ml._use_kernel(k, block_size, dtype, axis_model)
     _, blocks = _pad_blocks(data.shape[0], block_size, data, *arrays)
     return dtype, CCs, use_kernel, blocks
+
+
+def _pat_prep(Cs, means, sigmas, data, block_size, patterns, *arrays):
+    """Loop-invariant prep for the pattern-table readout verbs: tables,
+    hoisted centering operands, padded blocks.  No CC build, no kernel
+    gating — the table path never factors per sample."""
+    dtype = ml.compute_dtype(data.dtype, Cs.dtype)
+    tables = compute_mix_tables(Cs, sigmas, patterns.astype(dtype))
+    center = _center_prep(Cs, means)
+    _, blocks = _pad_blocks(data.shape[0], block_size, data, *arrays)
+    return dtype, tables, center, blocks
 
 
 def _lane_major_prep(Cs, means, CCs):
@@ -298,16 +354,15 @@ def mix_llks(Cs, means, sigmas, data, mask, *, block_size: int,
     n = data.shape[0]
     M = Cs.shape[0]
     if pidx is not None:
-        dtype, _, _, (data3, mask3, pidx3) = _mix_prep(
-            Cs, data, block_size, axis_model, mask, pidx
+        dtype, tables, center, (data3, mask3, pidx3) = _pat_prep(
+            Cs, means, sigmas, data, block_size, patterns, mask, pidx
         )
-        tables = compute_mix_tables(Cs, sigmas, patterns.astype(dtype))
 
         def body_pat(_, xs):
             datab, maskb, pb = xs
             _, llks, _, _, _ = _block_post_pat(
                 Cs, means, sigmas, tables, datab.astype(dtype),
-                maskb.astype(dtype), pb, need_R=False,
+                maskb.astype(dtype), pb, center=center,
             )
             return None, llks.T
 
@@ -348,16 +403,15 @@ def mix_infer(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
     n = data.shape[0]
     M, _, k = Cs.shape
     if pidx is not None:
-        dtype, _, _, (data3, mask3, pidx3) = _mix_prep(
-            Cs, data, block_size, axis_model, mask, pidx
+        dtype, tables, center, (data3, mask3, pidx3) = _pat_prep(
+            Cs, means, sigmas, data, block_size, patterns, mask, pidx
         )
-        tables = compute_mix_tables(Cs, sigmas, patterns.astype(dtype))
 
         def body_pat(_, xs):
             datab, maskb, pb = xs
             _, llks, s, Sig_b, _ = _block_post_pat(
                 Cs, means, sigmas, tables, datab.astype(dtype),
-                maskb.astype(dtype), pb, need_R=False,
+                maskb.astype(dtype), pb, center=center,
             )
             return None, (llks.T, s, Sig_b.reshape(M, -1, k, k))
 
@@ -394,14 +448,17 @@ def mix_smooth(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
     ``extrapolate=True``, extrapolation (`mix.rs:253-265`) — end to end in
     one pass: no (M, N, ...) intermediate ever materializes."""
     n = data.shape[0]
-    dtype, CCs, use_kernel, (data3, mask3, *rest) = _mix_prep(
-        Cs, data, block_size, axis_model, mask,
-        *([pidx] if pidx is not None else []),
-    )
     if pidx is not None:
-        tables = compute_mix_tables(Cs, sigmas, patterns.astype(dtype))
-        pidx3 = rest[0]
-    lane_prep = _lane_major_prep(Cs, means, CCs) if use_kernel and pidx is None else None
+        dtype, tables, center, (data3, mask3, pidx3) = _pat_prep(
+            Cs, means, sigmas, data, block_size, patterns, mask, pidx
+        )
+        use_kernel = False
+        lane_prep = None
+    else:
+        dtype, CCs, use_kernel, (data3, mask3) = _mix_prep(
+            Cs, data, block_size, axis_model, mask
+        )
+        lane_prep = _lane_major_prep(Cs, means, CCs) if use_kernel else None
 
     def body(_, xs):
         if pidx is not None:
@@ -412,7 +469,7 @@ def mix_smooth(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
         mask_f = maskb.astype(dtype)
         if pidx is not None:
             _, llks, s, _, _ = _block_post_pat(
-                Cs, means, sigmas, tables, datab, mask_f, pb, need_R=False
+                Cs, means, sigmas, tables, datab, mask_f, pb, center=center
             )
         elif use_kernel:
             llks, s = _block_llks_kernel(

@@ -14,6 +14,10 @@ identical to a single-shot ``iterate`` over the concatenated data.
 
 Each chunk may be a :class:`Dataset` or a zero-argument callable returning
 one (for lazy loading from disk / object storage).
+
+Limitation: chunks run through the single-device statistics pass — streaming
+does not compose with mesh-sharded chunks (shard a resident Dataset with
+parallel.shard_dataset instead when it fits; stream when it doesn't).
 """
 
 from __future__ import annotations

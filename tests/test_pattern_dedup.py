@@ -76,6 +76,28 @@ def test_pattern_info_gates(rng):
     finally:
         config.use_pattern_dedup = True
 
+    # the gate is re-checked each call: a dataset with CACHED patterns must
+    # honor a later config toggle (the kill switch), and a dataset first
+    # probed with the flag off is not permanently demoted
+    ds2 = make_patterned_dataset(rng)
+    assert ds2.pattern_info() is not None      # cached now
+    config.use_pattern_dedup = False
+    try:
+        assert ds2.pattern_info() is None      # toggle respected despite cache
+        ds3 = make_patterned_dataset(rng)
+        assert ds3.pattern_info() is None
+    finally:
+        config.use_pattern_dedup = True
+    assert ds2.pattern_info() is not None
+    assert ds3.pattern_info() is not None      # not poisoned by the off probe
+
+    # include_dense: mixture path gets a P=1 table for fully-observed data,
+    # single-model path (no flag) does not
+    dense = Dataset(rng.normal(size=(32, 4)))
+    assert dense.pattern_info() is None
+    info = dense.pattern_info(include_dense=True)
+    assert info is not None and info[1].shape == (1, 4)
+
 
 # --------------------------------------------------------------------- #
 # parity with the general masked path (f64)
