@@ -240,11 +240,16 @@ class Dataset:
                 )
                 return self._patterns
             return None  # uncached: a later include_dense call may want it
-        # Sharded datasets keep the general path (pattern tables would need
-        # a cross-shard unique); see parallel/mesh.py.
-        if len(self.mask.sharding.device_set) > 1:
-            self._patterns = False
-            return None
+        # Data-axis sharding is supported: the hashes compute distributed,
+        # the (tiny) unique runs on the host, pidx is placed with the row
+        # sharding and the pattern table is replicated.  Column (model-axis)
+        # sharding keeps the general path (tables would need a D-psum).
+        sharded = len(self.mask.sharding.device_set) > 1
+        if sharded:
+            shard_shape = self.mask.sharding.shard_shape(self.mask.shape)
+            if shard_shape[1] != self.mask.shape[1]:
+                self._patterns = False
+                return None
 
         p_cap = min(config.pattern_max, n // config.pattern_min_ratio)
         hashes_dev = _row_hashes_jit(self.mask)           # (N,) uint64-as-2xint32
@@ -264,7 +269,15 @@ class Dataset:
             self._patterns = False
             return None
         pidx = jnp.asarray(inverse.astype(np.int32))
-        patterns = self.mask[jnp.asarray(rep.astype(np.int32))]
+        patterns = jnp.asarray(np.asarray(self.mask[jnp.asarray(rep.astype(np.int32))]))
+        if sharded:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            pidx = jax.device_put(pidx, self.weights_dev.sharding)
+            mesh = self.weights_dev.sharding.mesh
+            patterns = jax.device_put(
+                patterns, NamedSharding(mesh, PartitionSpec(None, None))
+            )
         # Exact verification (defends against hash collisions): every row
         # must equal its assigned pattern.
         step = 1 << 20

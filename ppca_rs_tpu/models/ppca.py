@@ -80,7 +80,13 @@ def _impl_and_block(dataset: Dataset):
     n_data = mesh.shape[DATA_AXIS]
     use_model = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
     fns = fns_for(mesh, use_model, dense)
-    return fns, block_size_for(max(1, dataset.padded_len // n_data))
+    bs = block_size_for(max(1, dataset.padded_len // n_data))
+    if not dense and not use_model:
+        # Data-axis-sharded pattern dedup: same tables, per-shard rows.
+        pat = dataset.pattern_info()
+        if pat is not None:
+            return _sharded_pattern_fns(fns, *pat), bs
+    return fns, bs
 
 
 # ===================================================================== #
@@ -310,6 +316,28 @@ def _em_step_pat_jit(C, mean, sigma, data, mask, weights, pidx, pats,
         mean_prior=mean_prior,
     )
     return new_C, new_mean, new_sigma, stats.llk
+
+
+def _sharded_pattern_fns(fns, pidx, pats):
+    """Adapter closures binding a sharded dataset's pattern arrays onto the
+    common verb signatures (see parallel/api.py *_pat)."""
+    return {
+        "llks": lambda C, mean, sigma, data, mask, bs:
+            fns["llks_pat"](C, mean, sigma, data, mask, pidx, pats, bs),
+        "llk": lambda C, mean, sigma, data, mask, weights, bs:
+            fns["llk_pat"](C, mean, sigma, data, mask, weights, pidx, pats, bs),
+        "infer": lambda C, mean, sigma, data, mask, bs:
+            fns["infer_pat"](C, mean, sigma, data, mask, pidx, pats, bs),
+        "smooth": lambda C, mean, sigma, data, mask, bs:
+            fns["smooth_pat"](C, mean, sigma, data, mask, pidx, pats, bs, False),
+        "extrapolate": lambda C, mean, sigma, data, mask, bs:
+            fns["smooth_pat"](C, mean, sigma, data, mask, pidx, pats, bs, True),
+        "em_step": lambda C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, bs:
+            fns["em_step_pat"](C, mean, sigma, data, mask, weights, pidx, pats,
+                               tprec, noise_prior, mean_prior, bs),
+        "mix_llks": fns["mix_llks"],
+        "mix_em_step": fns["mix_em_step"],
+    }
 
 
 def _pattern_fns(pidx, pats):

@@ -157,6 +157,83 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
             (cspec, mspec, rep, rep),
         )(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior)
 
+    # ---- mask-pattern-dedup variants (ops/pattern_dedup.py) -------------
+    # Data-axis sharding only: each shard runs the table path on its local
+    # rows with the replicated pattern table and its local pattern indices;
+    # statistics psum over the data axis exactly like the general path.
+    # (Model-axis sharding keeps the general path — gated at dispatch.)
+
+    from ..ops import pattern_dedup as pd
+
+    pspec = P(DATA_AXIS)               # pattern indices (N,)
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
+    def llks_pat(C, mean, sigma, data, mask, pidx, pats, block_size):
+        def inner(C, mean, sigma, data, mask, pidx, pats):
+            return pd.llks(C, mean, sigma, data, mask, pidx, pats,
+                           block_size=block_size)
+        return smap(
+            inner, (cspec, mspec, rep, rows, rows, pspec, rep), P(DATA_AXIS)
+        )(C, mean, sigma, data, mask, pidx, pats)
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
+    def llk_pat(C, mean, sigma, data, mask, weights, pidx, pats, block_size):
+        def inner(C, mean, sigma, data, mask, weights, pidx, pats):
+            per = pd.llks(C, mean, sigma, data, mask, pidx, pats,
+                          block_size=block_size)
+            return lax.psum(jnp.sum(per * weights), DATA_AXIS)
+        return smap(
+            inner, (cspec, mspec, rep, rows, rows, wspec, pspec, rep), rep
+        )(C, mean, sigma, data, mask, weights, pidx, pats)
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
+    def infer_pat(C, mean, sigma, data, mask, pidx, pats, block_size):
+        def inner(C, mean, sigma, data, mask, pidx, pats):
+            return pd.infer(C, mean, sigma, data, mask, pidx, pats,
+                            block_size=block_size)
+        return smap(
+            inner, (cspec, mspec, rep, rows, rows, pspec, rep),
+            (P(DATA_AXIS), P(DATA_AXIS)),
+        )(C, mean, sigma, data, mask, pidx, pats)
+
+    @functools.partial(jax.jit, static_argnames=("block_size", "extrapolate"))
+    def smooth_pat(C, mean, sigma, data, mask, pidx, pats, block_size,
+                   extrapolate=False):
+        def inner(C, mean, sigma, data, mask, pidx, pats):
+            states = pd.states(C, mean, sigma, data, mask, pidx, pats,
+                               block_size=block_size)
+            smoothed = states @ C.T + mean
+            if extrapolate:
+                return jnp.where(mask, data, smoothed)
+            return smoothed
+        return smap(
+            inner, (cspec, mspec, rep, rows, rows, pspec, rep), rows
+        )(C, mean, sigma, data, mask, pidx, pats)
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
+    def em_step_pat(C, mean, sigma, data, mask, weights, pidx, pats,
+                    tprec, noise_prior, mean_prior, block_size):
+        def inner(C, mean, sigma, data, mask, weights, pidx, pats,
+                  tprec, noise_prior, mean_prior):
+            stats = pd.em_stats(
+                C, mean, sigma, data, mask, pidx, pats, weights,
+                block_size=block_size,
+            )
+            stats = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), stats)
+            new_C, new_mean, new_sigma = ml.em_finalize(
+                C, mean, sigma, stats,
+                transformation_precision=tprec,
+                noise_prior=noise_prior,
+                mean_prior=mean_prior,
+            )
+            return new_C, new_mean, new_sigma, stats.llk
+        return smap(
+            inner,
+            (cspec, mspec, rep, rows, rows, wspec, pspec, rep, rep, rep, rep),
+            (cspec, mspec, rep, rep),
+        )(C, mean, sigma, data, mask, weights, pidx, pats,
+          tprec, noise_prior, mean_prior)
+
     @functools.partial(jax.jit, static_argnames=("block_size",))
     def mix_llks(Cs, means, sigmas, data, mask, block_size):
         """Sharded fused per-component llks: one pass for all M components
@@ -220,6 +297,11 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         "smooth": smooth,
         "extrapolate": extrapolate,
         "em_step": em_step,
+        "llks_pat": llks_pat,
+        "llk_pat": llk_pat,
+        "infer_pat": infer_pat,
+        "smooth_pat": smooth_pat,
+        "em_step_pat": em_step_pat,
         "mix_llks": mix_llks,
         "mix_em_step": mix_em_step,
     }

@@ -148,6 +148,22 @@ def test_em_stats_match_masked_path(rng, group_outer):
         )
 
 
+def test_bf16_storage_keeps_patterns(rng):
+    """astype(bfloat16) shares the pattern cache (same mask) and the dedup
+    math still runs in compute precision."""
+    import jax.numpy as jnp
+
+    ds = make_patterned_dataset(rng)
+    info = ds.pattern_info()
+    ds16 = ds.astype(jnp.bfloat16)
+    assert ds16.pattern_info() is info
+    model = make_model(rng)
+    llk16 = model.llk(ds16)
+    llk = model.llk(ds)
+    assert np.isclose(llk16, llk, rtol=2e-2)  # bf16 storage rounding only
+    assert model.iterate(ds16).transform.dtype == np.float64
+
+
 def test_model_dispatch_and_training(rng):
     """End-to-end: the model verbs route through the dedup path for a
     patterned dataset and produce the same numbers as the general path."""

@@ -94,6 +94,54 @@ def test_sharded_mixture_em(rng):
     assert np.isclose(m_s.llk(sds), m_d.llk(ds), rtol=1e-9)
 
 
+def test_sharded_pattern_dedup_matches(rng):
+    """Data-axis-sharded datasets with few mask patterns route through the
+    sharded pattern-table verbs and agree with the unsharded general path."""
+    n, d, k, P = 101, 8, 3, 4
+    pats = rng.random((P, d)) < 0.6
+    pats[0] = False
+    idx = rng.integers(0, P, size=n)
+    values = rng.normal(size=(n, d))
+    values[~pats[idx]] = np.nan
+    weights = rng.random(n) + 0.5
+    model = PPCAModel(
+        isotropic_noise=0.4, transform=rng.normal(size=(d, k)), mean=rng.normal(size=d)
+    )
+    ds = Dataset(values, weights=weights)
+    mesh = make_mesh(data=8, model=1)
+    sds = shard_dataset(Dataset(values, weights=weights), mesh)
+
+    info = sds.pattern_info()
+    assert info is not None, "sharded detection must trigger"
+    np.testing.assert_array_equal(
+        np.asarray(sds.mask), np.asarray(info[1])[np.asarray(info[0])]
+    )
+
+    assert np.isclose(model.llk(sds), model.llk(ds), rtol=1e-10)
+    np.testing.assert_allclose(model.llks(sds), model.llks(ds), rtol=1e-9, atol=1e-11)
+    inf_s, inf_d = model.infer(sds), model.infer(ds)
+    np.testing.assert_allclose(inf_s.states(), inf_d.states(), rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(
+        inf_s.covariances_array(), inf_d.covariances_array(), rtol=1e-8, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        model.extrapolate(sds).numpy(), model.extrapolate(ds).numpy(),
+        rtol=1e-8, equal_nan=True,
+    )
+    prior = Prior().with_isotropic_noise_prior(2.0, 2.0).with_transformation_precision(0.1)
+    m_s = model.iterate_with_prior(sds, prior)
+    m_d = model.iterate_with_prior(ds, prior)
+    np.testing.assert_allclose(m_s.transform, m_d.transform, rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(m_s.mean, m_d.mean, rtol=1e-8, atol=1e-11)
+    assert np.isclose(m_s.isotropic_noise, m_d.isotropic_noise, rtol=1e-9)
+
+    # model-axis sharding keeps the general path
+    mesh2 = make_mesh(data=4, model=2)
+    sds2 = shard_dataset(Dataset(values, weights=weights), mesh2)
+    assert sds2.pattern_info() is None
+    assert np.isclose(model.llk(sds2), model.llk(ds), rtol=1e-10)
+
+
 def test_shard_dataset_requires_divisible_d(rng):
     _, ds = make_data(rng, n=16, d=7)
     mesh = make_mesh(data=4, model=2)
