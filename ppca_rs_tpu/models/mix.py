@@ -563,10 +563,19 @@ class InferredMaskedMix:
                 f"a state size; got {sorted(sizes)}"
             )
 
-    def states(self) -> np.ndarray:
-        """Moment-matched posterior state means (see class note)."""
+    def states(self, *, reference_log_weighting: bool = False) -> np.ndarray:
+        """Moment-matched posterior state means (see class note).
+
+        ``reference_log_weighting=True`` reproduces the reference's behavior
+        bit-for-bit-in-spirit (`mix.rs:374-380` weights component states by
+        the raw *log*-posterior entries instead of their exponentials) for
+        users migrating numeric outputs who need the old numbers.  The
+        default is the mathematically consistent exp-weighting that every
+        other readout uses.
+        """
         self._require_equal_state_sizes()
-        post = jnp.exp(self._log_post)
+        post = (self._log_post if reference_log_weighting
+                else jnp.exp(self._log_post))
         out = sum(
             post[:, i : i + 1] * inf._states for i, inf in enumerate(self._inferred)
         )

@@ -41,6 +41,21 @@ rank-4 variant were tried and measured *slower*
 VMEM-bandwidth bound, and short serial (k, T) panel ops pipeline worse than
 the big rank-1 (k, k, T) updates.
 
+Because the kernel is VPU-compute bound, the round-3 lever is *doing fewer
+FMAs*, not reorganizing traffic: the live region of each rank-2 update is a
+staircase, not the full k x k square.  At column j the Cholesky update only
+changes trailing rows/cols >= j (lcol_j is zero above j), the Res update only
+changes rows >= j and cols <= j (wrow_j is a row of a lower-triangular
+inverse), and the SM accumulation only touches the leading (j+1) x (j+1)
+block.  The column loop is therefore split into static PANEL-sized segments
+(Python-level, so the slice bounds are compile-time constants aligned to the
+8-sublane tiling) and every big update writes only its statically-known live
+slab: rows [j0:] x cols [j0:] for A, rows [j0:] x cols [:j1] for Res, and
+[:j1] x [:j1] for SM.  For k=64 with 8-wide panels this cuts the big-update
+FMA count to 0.40 / 0.27 / 0.40 of the full-square version (~2.6x fewer VPU
+flops) with per-column logic unchanged — measured 2.14 ms vs 4.5 ms per
+(8192, k=64) block on v5e (1.84x at PANEL=16, 2.1x at PANEL=8).
+
 Equivalent to (and tested against) the XLA path in
 `ops/masked_linalg.block_posterior` + `block_covariances` + `block_llk`,
 which mirrors `ppca/src/output_covariance.rs` / `ppca_model.rs:195-208`.
@@ -66,11 +81,28 @@ LANE = 128
 # (clamped to the 128 MB physical capacity).
 MAX_K = 192  # 5 * 192^2 * 128 * 4B = 94 MB + temporaries fits in 128 MB
 
+PANEL = 8  # staircase panel width (multiple of 8; 8 beat 16: 2.14 vs 2.45 ms/8k at k=64)
+
 WANTS = ("llk", "states", "full", "infer")
 # "infer" = same loop as "full" but the second output is the posterior
 # covariance Sigma = sigma^2 M^{-1} itself (not SM = s s^T + Sigma): callers
 # that need per-sample covariances get them without the SM - s s^T round trip,
 # whose f32 cancellation can break PSD-ness for well-observed samples.
+
+
+def _panels(k: int, width: int = PANEL):
+    """Static staircase segments [(j0, j1), ...] covering the k columns.
+
+    ``k`` is a multiple of 8 (spd_estep pads), so every boundary is
+    8-sublane aligned and every segment has an even number of columns
+    (rank-2 pairs).  The final segment may be 8 wide when k % 16 == 8.
+    """
+    panels, j0 = [], 0
+    while j0 < k:
+        w = width if k - j0 >= width else k - j0
+        panels.append((j0, j0 + w))
+        j0 += w
+    return panels
 
 
 def _make_kernel(want: str):
@@ -135,15 +167,20 @@ def _make_kernel(want: str):
                 lcol = jnp.where(ii >= j, colM * inv_sqrt[None, :], 0.0)
                 return lcol, inv_sqrt, diag
 
-            if k % 2 == 0:
-                # rank-2: one A pass and one r pass per column pair
+            # rank-2 pairs (k is even: spd_estep pads to a multiple of 8),
+            # one statically-sliced A pass and one r pass per pair.
+            def make_body(j0, j1):
                 def body(p, carry):
                     logdet, r, quad = carry
-                    j = p * 2
+                    j = j0 + p * 2
                     l0, is0, d0 = chol_col(j, ())
                     l1, is1, d1 = chol_col(j + 1, (l0,))
-                    A_scr[cur] = A_scr[cur] - (
-                        l0[:, None, :] * l0[None, :, :] + l1[:, None, :] * l1[None, :, :]
+                    # NB: slice-then-expand_dims — `v[j0:, None, :]` on a
+                    # *value* lowers to an unsupported gather in Mosaic.
+                    l0t, l1t = l0[j0:], l1[j0:]
+                    A_scr[cur, j0:, j0:] = A_scr[cur, j0:, j0:] - (
+                        jnp.expand_dims(l0t, 1) * jnp.expand_dims(l0t, 0)
+                        + jnp.expand_dims(l1t, 1) * jnp.expand_dims(l1t, 0)
                     )
                     y0 = jnp.sum(jnp.where(ii == j, r, 0.0), axis=0) * is0
                     r1 = jnp.sum(jnp.where(ii == j + 1, r, 0.0), axis=0)
@@ -153,21 +190,12 @@ def _make_kernel(want: str):
                     return (logdet + jnp.log(d0) + jnp.log(d1),
                             r, quad + y0 * y0 + y1 * y1)
 
-                n_steps = k // 2
-            else:
-                def body(j, carry):
-                    logdet, r, quad = carry
-                    lcol, inv_sqrt, diag = chol_col(j, ())
-                    A_scr[cur] = A_scr[cur] - lcol[:, None, :] * lcol[None, :, :]
-                    yj = jnp.sum(jnp.where(ii == j, r, 0.0), axis=0) * inv_sqrt
-                    r = r - yj[None, :] * lcol
-                    return (logdet + jnp.log(diag), r, quad + yj * yj)
+                return body
 
-                n_steps = k
-
-            logdet, _, quad_b = lax.fori_loop(
-                0, n_steps, body, (jnp.zeros((T,), dtype), b, jnp.zeros((T,), dtype))
-            )
+            carry = (jnp.zeros((T,), dtype), b, jnp.zeros((T,), dtype))
+            for j0, j1 in _panels(k):
+                carry = lax.fori_loop(0, (j1 - j0) // 2, make_body(j0, j1), carry)
+            logdet, _, quad_b = carry
             quad = (rnorm - quad_b) / sigma2
             ld = logdet + jnp.log(sigma2) * (d_obs - k)
             llk_ref[...] = (-0.5 * (quad + ld + LN_2PI * d_obs))[None, :]
@@ -193,54 +221,53 @@ def _make_kernel(want: str):
                 wrow = wrow - wr * coef[None, :]
             return wrow * inv_sqrt[None, :]
 
-        rank = next((r for r in (2,) if k % r == 0), 1)  # rank-4 measured slower: in-group serial corrections outweigh the traffic savings
-        if rank > 1:
-            # rank-r steps: r columns per iteration, ONE read-modify-write
-            # pass over each big buffer per group (1/r the VMEM traffic;
-            # in-group corrections are cheap (k, T) masked reductions).
+        # rank-2 pairs (k is even after spd_estep's pad-to-8): two columns per
+        # iteration, ONE statically-sliced read-modify-write pass over each
+        # big buffer per pair.  Rank-4 measured slower (in-group serial
+        # corrections outweigh the traffic savings); the staircase slicing is
+        # what actually cuts the VPU FMA count (see module docstring).
+        def make_body(j0, j1):
             def body(p, carry):
                 logdet, s = carry
-                j0 = p * rank
-                ls, ws = [], []
-                for t in range(rank):
-                    lt, ist, dt = col_step(j0 + t, tuple(ls))
-                    wt = w_step(j0 + t, ist, tuple(zip(ls, ws)))
-                    ls.append(lt)
-                    ws.append(wt)
-                    logdet = logdet + jnp.log(dt)
-                A_scr[cur] = A_scr[cur] - sum(
-                    lt[:, None, :] * lt[None, :, :] for lt in ls
+                j = j0 + p * 2
+                l0, is0, d0 = col_step(j, ())
+                w0 = w_step(j, is0, ())
+                l1, is1, d1 = col_step(j + 1, (l0,))
+                w1 = w_step(j + 1, is1, ((l0, w0),))
+                logdet = logdet + jnp.log(d0) + jnp.log(d1)
+                # NB: slice-then-expand_dims everywhere — `v[j0:, None, :]`
+                # on a *value* lowers to an unsupported gather in Mosaic.
+                l0t, l1t = l0[j0:], l1[j0:]
+                w0h, w1h = w0[:j1], w1[:j1]
+                # Cholesky trailing update: live rows/cols >= j >= j0.
+                A_scr[cur, j0:, j0:] = A_scr[cur, j0:, j0:] - (
+                    jnp.expand_dims(l0t, 1) * jnp.expand_dims(l0t, 0)
+                    + jnp.expand_dims(l1t, 1) * jnp.expand_dims(l1t, 0)
                 )
-                Res_scr[...] = Res_scr[...] - sum(
-                    lt[:, None, :] * wt[None, :, :] for lt, wt in zip(ls, ws)
+                # Res -= lcol wrow^T: lcol is zero above j, wrow (a row of the
+                # lower-triangular W = L^{-1}) is zero beyond col j < j1.
+                Res_scr[j0:, :j1] = Res_scr[j0:, :j1] - (
+                    jnp.expand_dims(l0t, 1) * jnp.expand_dims(w0h, 0)
+                    + jnp.expand_dims(l1t, 1) * jnp.expand_dims(w1h, 0)
                 )
-                for wt in ws:
-                    s = s + wt * jnp.sum(wt * b, axis=0)[None, :]
+                # s = M^{-1} b = sum_j wrow_j (wrow_j . b)
+                s = s + w0 * jnp.sum(w0 * b, axis=0)[None, :]
+                s = s + w1 * jnp.sum(w1 * b, axis=0)[None, :]
                 if SM_ref is not None:
-                    SM_ref[...] = SM_ref[...] + sum(
-                        wt[:, None, :] * wt[None, :, :] for wt in ws
+                    # M^{-1} += wrow wrow^T: support is the leading
+                    # (j+1) x (j+1) block, j < j1.
+                    SM_ref[:j1, :j1] = SM_ref[:j1, :j1] + (
+                        jnp.expand_dims(w0h, 1) * jnp.expand_dims(w0h, 0)
+                        + jnp.expand_dims(w1h, 1) * jnp.expand_dims(w1h, 0)
                     )
                 return (logdet, s)
 
-            n_steps = k // rank
-        else:
-            def body(j, carry):
-                logdet, s = carry
-                lcol, inv_sqrt, diag = col_step(j, ())
-                A_scr[cur] = A_scr[cur] - lcol[:, None, :] * lcol[None, :, :]
-                wrow = w_step(j, inv_sqrt, ())
-                Res_scr[...] = Res_scr[...] - lcol[:, None, :] * wrow[None, :, :]
-                # s = M^{-1} b = sum_j wrow_j (wrow_j . b)
-                s = s + wrow * jnp.sum(wrow * b, axis=0)[None, :]
-                if SM_ref is not None:
-                    SM_ref[...] = SM_ref[...] + wrow[:, None, :] * wrow[None, :, :]
-                return (logdet + jnp.log(diag), s)
+            return body
 
-            n_steps = k
-
-        logdet, s = lax.fori_loop(
-            0, n_steps, body, (jnp.zeros((T,), dtype), jnp.zeros((k, T), dtype))
-        )
+        carry = (jnp.zeros((T,), dtype), jnp.zeros((k, T), dtype))
+        for j0, j1 in _panels(k):
+            carry = lax.fori_loop(0, (j1 - j0) // 2, make_body(j0, j1), carry)
+        logdet, s = carry
 
         s_ref[...] = s
         bs = jnp.sum(b * s, axis=0)

@@ -143,6 +143,13 @@ def test_mix_state_covariance_law_of_total_variance():
     comp_covs = [m.infer(data).covariances_array() for m in mix.models]
     want_state = sum(post[:, i : i + 1] * comp_states[i] for i in range(2))
     np.testing.assert_allclose(states, want_state, rtol=1e-8)
+    # the reference-bug compat flag weights by RAW log-posterior entries
+    # (mix.rs:374-380) instead of their exponentials
+    log_post = inf.log_posteriors()
+    want_ref = sum(log_post[:, i : i + 1] * comp_states[i] for i in range(2))
+    np.testing.assert_allclose(
+        inf.states(reference_log_weighting=True), want_ref, rtol=1e-6
+    )
     covs = inf.covariances()
     for n in range(10):
         want = sum(
