@@ -56,6 +56,11 @@ FMA count to 0.40 / 0.27 / 0.40 of the full-square version (~2.6x fewer VPU
 flops) with per-column logic unchanged — measured 2.14 ms vs 4.5 ms per
 (8192, k=64) block on v5e (1.84x at PANEL=16, 2.1x at PANEL=8).
 
+On top of the staircase, the A update is further restricted to its upper
+*wedge* (only entries with col >= row are ever read back by chol_col) via
+TRI_RB-row blocks — see ``_a_update``.  Measured at k=64: llk 1.10 -> 0.74
+ms (A dominates there), full 2.14 -> 2.07 ms (Res/SM dominate).
+
 Equivalent to (and tested against) the XLA path in
 `ops/masked_linalg.block_posterior` + `block_covariances` + `block_llk`,
 which mirrors `ppca/src/output_covariance.rs` / `ppca_model.rs:195-208`.
@@ -88,6 +93,33 @@ WANTS = ("llk", "states", "full", "infer")
 # covariance Sigma = sigma^2 M^{-1} itself (not SM = s s^T + Sigma): callers
 # that need per-sample covariances get them without the SM - s s^T round trip,
 # whose f32 cancellation can break PSD-ness for well-observed samples.
+
+
+# Row-block widths for the upper-wedge A update, per variant.  The llk
+# variant is A-dominated, so finer blocks (more flop savings) win: 0.74 ms
+# at rb=8 vs 0.99 at rb=16 per (8192, k=64) block.  The full variant is
+# Res/SM-dominated and prefers fewer, bigger A ops: 2.07 ms at rb=16 vs
+# 2.16 at rb=8 (2.14 with no wedge at all).
+TRI_RB_LLK = 8
+TRI_RB_MAIN = 16
+
+
+def _a_update(A_scr, cur, j0, k, l0, l1, rb):
+    """Cholesky trailing update restricted to the upper wedge.
+
+    ``chol_col(j)`` only ever reads entries (j, c) with c >= j, so A only
+    needs its dim1 >= dim0 wedge maintained; entries below go stale and are
+    never read.  Updating in rb-row blocks with cols [r0:] halves the
+    A-update FMAs again on top of the staircase slicing.
+    """
+    for r0 in range(j0, k, rb):
+        r1 = min(r0 + rb, k)
+        l0r, l1r = l0[r0:r1], l1[r0:r1]
+        l0c, l1c = l0[r0:], l1[r0:]
+        A_scr[cur, r0:r1, r0:] = A_scr[cur, r0:r1, r0:] - (
+            jnp.expand_dims(l0r, 1) * jnp.expand_dims(l0c, 0)
+            + jnp.expand_dims(l1r, 1) * jnp.expand_dims(l1c, 0)
+        )
 
 
 def _panels(k: int, width: int = PANEL):
@@ -177,11 +209,7 @@ def _make_kernel(want: str):
                     l1, is1, d1 = chol_col(j + 1, (l0,))
                     # NB: slice-then-expand_dims — `v[j0:, None, :]` on a
                     # *value* lowers to an unsupported gather in Mosaic.
-                    l0t, l1t = l0[j0:], l1[j0:]
-                    A_scr[cur, j0:, j0:] = A_scr[cur, j0:, j0:] - (
-                        jnp.expand_dims(l0t, 1) * jnp.expand_dims(l0t, 0)
-                        + jnp.expand_dims(l1t, 1) * jnp.expand_dims(l1t, 0)
-                    )
+                    _a_update(A_scr, cur, j0, k, l0, l1, TRI_RB_LLK)
                     y0 = jnp.sum(jnp.where(ii == j, r, 0.0), axis=0) * is0
                     r1 = jnp.sum(jnp.where(ii == j + 1, r, 0.0), axis=0)
                     l0_at_1 = jnp.sum(jnp.where(ii == j + 1, l0, 0.0), axis=0)
@@ -239,11 +267,8 @@ def _make_kernel(want: str):
                 # on a *value* lowers to an unsupported gather in Mosaic.
                 l0t, l1t = l0[j0:], l1[j0:]
                 w0h, w1h = w0[:j1], w1[:j1]
-                # Cholesky trailing update: live rows/cols >= j >= j0.
-                A_scr[cur, j0:, j0:] = A_scr[cur, j0:, j0:] - (
-                    jnp.expand_dims(l0t, 1) * jnp.expand_dims(l0t, 0)
-                    + jnp.expand_dims(l1t, 1) * jnp.expand_dims(l1t, 0)
-                )
+                # Cholesky trailing update: upper wedge of rows/cols >= j0.
+                _a_update(A_scr, cur, j0, k, l0, l1, TRI_RB_MAIN)
                 # Res -= lcol wrow^T: lcol is zero above j, wrow (a row of the
                 # lower-triangular W = L^{-1}) is zero beyond col j < j1.
                 Res_scr[j0:, :j1] = Res_scr[j0:, :j1] - (
