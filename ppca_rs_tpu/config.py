@@ -38,6 +38,16 @@ class Config:
     #: Use the native C++ host-side packing extension when available.
     use_native: bool = True
 
+    #: EXPERIMENTAL: use the fully-fused EM megakernel (ops/estep_fused.py)
+    #: for em_stats on TPU — every matmul of the E+M pass inside one
+    #: software-pipelined Pallas program.  Default False: measured SLOWER
+    #: than the split kernel+XLA path on v5e (2.44M vs 2.78M samples/s at
+    #: D=1024, k=64, 50% missing) because Mosaic serializes the pipeline
+    #: stages instead of overlapping MXU and VPU work, while XLA's matmul
+    #: phase already runs at MXU speed-of-light.  Kept (tested, correct)
+    #: as the starting point if a scheduling-hint path opens up.
+    use_fused_estep: bool = False
+
     #: Mask-pattern deduplication: when a dataset has P distinct mask
     #: patterns with P << N (structured missingness), per-sample
     #: factorizations collapse to a P-sized table (ops/pattern_dedup.py).
@@ -58,6 +68,8 @@ if os.environ.get("PPCA_RS_TPU_NO_PALLAS"):
     config.use_pallas = False
 if os.environ.get("PPCA_RS_TPU_NO_NATIVE"):
     config.use_native = False
+if os.environ.get("PPCA_RS_TPU_FUSED_ESTEP"):
+    config.use_fused_estep = True
 if os.environ.get("PPCA_RS_TPU_MATMUL_PRECISION"):
     config.matmul_precision = os.environ["PPCA_RS_TPU_MATMUL_PRECISION"]
 

