@@ -454,6 +454,7 @@ def em_finalize(
     noise_prior: Optional[tuple] = None,    # (alpha, beta)
     mean_prior: Optional[tuple] = None,     # (prior_mean (D,), prior_precision (D,D))
     axis_model: Optional[str] = None,
+    transform_rows: Optional[jax.Array] = None,
 ):
     """M-step parameter updates from the sufficient statistics
     (`ppca_model.rs:294-393`). Returns ``(new_C, new_mean, new_sigma)``.
@@ -474,7 +475,13 @@ def em_finalize(
     # singular row, e.g. an empty dimension with lambda=0) yields non-finite
     # entries and takes the same keep-old-row fallback the LU path does.
     if k > 0:
-        if _use_kernel(k, D_loc, dtype, None) and D_loc % 128 == 0:
+        # Under vmap (the mixture's per-component finalize) the Pallas call
+        # cannot lower (ANY-space inputs don't batch); callers there pass a
+        # precomputed flattened-kernel solution via ``transform_rows``.
+        batched = type(stats.S).__name__ == "BatchTracer"
+        if transform_rows is not None:
+            sol = transform_rows
+        elif (not batched) and _use_kernel(k, D_loc, dtype, None) and D_loc % 128 == 0:
             from . import kernels
 
             G3 = jnp.transpose(stats.S.reshape(D_loc, k, k), (1, 2, 0))

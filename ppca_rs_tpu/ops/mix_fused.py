@@ -630,7 +630,7 @@ def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
     inv_scale = jnp.where(alive, 1.0 / jnp.where(alive, stats.resp_max, 1.0), 0.0)
 
     def finalize_one(C, mean, sigma, cross, S, square_error, dev_sq,
-                     total_dev, totals, c):
+                     total_dev, totals, c, rows=None):
         st = ml.EMStats(cross * c, S * c, square_error * c, dev_sq * c,
                         total_dev * c, totals * c, jnp.zeros((), C.dtype))
         return ml.em_finalize(
@@ -639,13 +639,41 @@ def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
             noise_prior=noise_prior,
             mean_prior=mean_prior,
             axis_model=axis_model,
+            transform_rows=rows,
         )
 
     if axis_model is None:
-        new_Cs, new_means, new_sigmas = jax.vmap(finalize_one)(
-            Cs, means, sigmas, stats.cross, stats.S, stats.square_error,
-            stats.dev_sq, stats.total_dev, stats.totals, inv_scale,
-        )
+        M, D_loc, k = Cs.shape
+        rows_pre = None
+        # The SPD kernel cannot run under vmap, so the M x D_loc per-row
+        # solves are flattened into ONE kernel call here and handed to the
+        # vmapped finalize via transform_rows (same scaled statistics).
+        if (k > 0
+                and ml._use_kernel(k, M * D_loc, Cs.dtype, None)
+                and (M * D_loc) % 128 == 0):
+            from . import kernels
+
+            S_sc = stats.S * inv_scale[:, None, None]
+            cr_sc = stats.cross * inv_scale[:, None, None]
+            G3 = jnp.transpose(S_sc.reshape(M * D_loc, k, k), (1, 2, 0))
+            lam = jnp.asarray(transformation_precision, Cs.dtype)
+            zeros = jnp.zeros((1, M * D_loc), Cs.dtype)
+            sol_t, _ = kernels.spd_estep(
+                jnp.sqrt(lam), G3, cr_sc.reshape(M * D_loc, k).T,
+                zeros, zeros, want="states",
+            )
+            rows_pre = sol_t.T.reshape(M, D_loc, k)
+        if rows_pre is not None:
+            new_Cs, new_means, new_sigmas = jax.vmap(finalize_one)(
+                Cs, means, sigmas, stats.cross, stats.S, stats.square_error,
+                stats.dev_sq, stats.total_dev, stats.totals, inv_scale,
+                rows_pre,
+            )
+        else:
+            new_Cs, new_means, new_sigmas = jax.vmap(finalize_one)(
+                Cs, means, sigmas, stats.cross, stats.S, stats.square_error,
+                stats.dev_sq, stats.total_dev, stats.totals, inv_scale,
+            )
     else:
         # collectives inside vmap are awkward; M is small — loop.
         outs = [
