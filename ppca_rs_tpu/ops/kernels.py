@@ -88,11 +88,15 @@ MAX_K = 192  # 5 * 192^2 * 128 * 4B = 94 MB + temporaries fits in 128 MB
 
 PANEL = 8  # staircase panel width (multiple of 8; 8 beat 16: 2.14 vs 2.45 ms/8k at k=64)
 
-WANTS = ("llk", "states", "full", "infer")
+WANTS = ("llk", "states", "full", "infer", "chol")
 # "infer" = same loop as "full" but the second output is the posterior
 # covariance Sigma = sigma^2 M^{-1} itself (not SM = s s^T + Sigma): callers
 # that need per-sample covariances get them without the SM - s s^T round trip,
 # whose f32 cancellation can break PSD-ness for well-observed samples.
+# "chol" = batched Cholesky factors of sigma^2 I + G themselves (the columns
+# the loop computes anyway, written out instead of discarded): the backend
+# for posterior samplers, where XLA's batched cholesky on (B, k, k) operands
+# is ~50x slower.  Use the spd_chol() wrapper for plain SPD batches.
 
 
 # Row-block widths for the upper-wedge A update, per variant.  The llk
@@ -139,8 +143,8 @@ def _panels(k: int, width: int = PANEL):
 
 def _make_kernel(want: str):
     def kernel(sigma_ref, G_hbm, b_ref, rn_ref, dob_ref, *rest):
-        if want == "llk":
-            (llk_ref, A_scr, in_sems) = rest
+        if want in ("llk", "chol"):
+            (llk_ref, A_scr, in_sems) = rest   # llk_ref is L_ref for "chol"
             Res_scr = None
             SM_ref = None
         elif want == "states":
@@ -188,6 +192,36 @@ def _make_kernel(want: str):
         d_obs = dob_ref[0, :]
 
         # ---- the single fused column loop -------------------------------
+        if want == "chol":
+            # Cholesky factors only: write column j of L (the lcol the loop
+            # computes anyway) into row j of the (k, k, T) output, i.e. the
+            # output holds L^T; spd_chol() transposes back.
+            def chol_col_c(j, corrections):
+                colM = A_scr[cur, j] + sigma2[None, :] * (ii == j).astype(dtype)
+                for lc in corrections:
+                    coef = jnp.sum(jnp.where(ii == j, lc, 0.0), axis=0)
+                    colM = colM - lc * coef[None, :]
+                diag = jnp.sum(jnp.where(ii == j, colM, 0.0), axis=0)
+                inv_sqrt = lax.rsqrt(diag)
+                return jnp.where(ii >= j, colM * inv_sqrt[None, :], 0.0)
+
+            def make_body_c(j0, j1):
+                def body(p, carry):
+                    j = j0 + p * 2
+                    l0 = chol_col_c(j, ())
+                    l1 = chol_col_c(j + 1, (l0,))
+                    _a_update(A_scr, cur, j0, k, l0, l1, TRI_RB_LLK)
+                    llk_ref[j] = l0
+                    llk_ref[j + 1] = l1
+                    return carry
+
+                return body
+
+            carry = jnp.zeros((), jnp.int32)
+            for j0, j1 in _panels(k):
+                carry = lax.fori_loop(0, (j1 - j0) // 2, make_body_c(j0, j1), carry)
+            return
+
         if want == "llk":
             def chol_col(j, corrections):
                 colM = A_scr[cur, j] + sigma2[None, :] * (ii == j).astype(dtype)
@@ -342,6 +376,8 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
     """
     if want not in WANTS:
         raise ValueError(f"want must be one of {WANTS}")
+    if want == "chol":
+        raise ValueError("use spd_chol() for the batched-Cholesky variant")
     k, _, B = G3.shape
     if B % LANE != 0:
         raise ValueError(f"batch {B} must be a multiple of {LANE}")
@@ -439,6 +475,75 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
         **kwargs,
     )(sigma2, G3, b_t, rnorm, d_obs)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spd_chol(M3: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """Batched lower Cholesky of SPD matrices, batch on lanes.
+
+    Args:
+      M3: (k, k, B) SPD matrices (B on lanes, any B — padded internally to a
+        LANE multiple with identity matrices, which factor to themselves).
+
+    Returns L3 (k, k, B) lower-triangular with ``L3[..., b] @ L3[..., b].T
+    == M3[..., b]``.  This is the sampler backend: XLA's batched ``cholesky``
+    on (B, k, k) operands runs ~50x slower on TPU (see module docstring).
+    """
+    k, _, B = M3.shape
+    dtype = M3.dtype
+    k8 = -(-k // 8) * 8
+    B8 = -(-B // LANE) * LANE
+    if k8 != k or B8 != B:
+        # pad extra diagonal entries (and whole extra matrices) with 1s so
+        # the factorization stays finite; padding factors to itself and is
+        # sliced away below.
+        eye_pad = (
+            lax.broadcasted_iota(jnp.int32, (k8, k8, 1), 0)
+            == lax.broadcasted_iota(jnp.int32, (k8, k8, 1), 1)
+        ).astype(dtype)
+        Mp = jnp.pad(M3, ((0, k8 - k), (0, k8 - k), (0, B8 - B)))
+        pad_mask = jnp.ones((k8, k8, B8), dtype)
+        pad_mask = pad_mask.at[:k, :k, :B].set(0.0)
+        M3 = Mp + pad_mask * eye_pad
+    kk = k8
+    T = LANE
+    grid = (B8 // T,)
+
+    a_scr = pltpu.VMEM((2, kk, kk, T), dtype)
+    sems = pltpu.SemaphoreType.DMA((2,))
+    zero_vec = jnp.zeros((1, B8), dtype)
+    zero_b = jnp.zeros((kk, B8), dtype)
+
+    def vec_spec(rows):
+        return pl.BlockSpec((rows, T), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    kwargs = {}
+    if not interpret:
+        vmem_bytes = 4 * kk * kk * T * 4 + 24 * (kk + 4) * T * 4
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem_bytes * 1.3) + (4 << 20), 128 * 1024 * 1024)
+        )
+    (Lt,) = pl.pallas_call(
+        _KERNELS["chol"],
+        grid=grid,
+        in_specs=[
+            vec_spec(1),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vec_spec(kk),
+            vec_spec(1),
+            vec_spec(1),
+        ],
+        out_specs=(
+            pl.BlockSpec((kk, kk, T), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((kk, kk, B8), dtype),),
+        scratch_shapes=[a_scr, sems],
+        interpret=interpret,
+        **kwargs,
+    )(zero_vec, M3, zero_b, zero_vec, zero_vec)
+    # the kernel writes column j of L into row j: transpose back to L-major
+    L3 = jnp.transpose(Lt, (1, 0, 2))
+    return L3[:k, :k, :B]
 
 
 def supported(k: int, block: int, dtype) -> bool:

@@ -167,6 +167,19 @@ def test_kernel_infer_variant(rng, k):
     assert bool(jnp.all(jnp.isfinite(chol)))
 
 
+@pytest.mark.parametrize("k,B", [(4, 128), (13, 100), (32, 256)])
+def test_spd_chol_matches_numpy(rng, k, B):
+    """spd_chol == np.linalg.cholesky, incl. k- and B-padding paths."""
+    V = jnp.asarray(rng.normal(size=(B, k, 2 * k)), jnp.float32) / np.sqrt(2 * k)
+    M = jnp.einsum("bij,bkj->bik", V, V) + 0.1 * jnp.eye(k, dtype=jnp.float32)
+    L3 = kernels.spd_chol(jnp.transpose(M, (1, 2, 0)), interpret=True)
+    got = np.transpose(np.asarray(L3), (2, 0, 1))
+    want = np.linalg.cholesky(np.asarray(M, np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    # strictly lower-triangular output
+    assert np.allclose(got * (1 - np.tri(k)), 0.0, atol=1e-7)
+
+
 def test_kernel_batch_alignment():
     with pytest.raises(ValueError):
         kernels.spd_estep(
