@@ -88,7 +88,7 @@ MAX_K = 192  # 5 * 192^2 * 128 * 4B = 94 MB + temporaries fits in 128 MB
 
 PANEL = 8  # staircase panel width (multiple of 8; 8 beat 16: 2.14 vs 2.45 ms/8k at k=64)
 
-WANTS = ("llk", "states", "full", "infer", "chol")
+WANTS = ("llk", "states", "full", "infer", "chol", "fullt")
 # "infer" = same loop as "full" but the second output is the posterior
 # covariance Sigma = sigma^2 M^{-1} itself (not SM = s s^T + Sigma): callers
 # that need per-sample covariances get them without the SM - s s^T round trip,
@@ -97,6 +97,11 @@ WANTS = ("llk", "states", "full", "infer", "chol")
 # the loop computes anyway, written out instead of discarded): the backend
 # for posterior samplers, where XLA's batched cholesky on (B, k, k) operands
 # is ~50x slower.  Use the spd_chol() wrapper for plain SPD batches.
+# "fullt" = "full" with the SM accumulation restricted to its lower wedge
+# (SM is symmetric; only entries with row >= col are valid, the rest hold
+# s_i s_j garbage).  For consumers that only contract SM linearly and can
+# symmetrize the SUM afterwards (the EM S-statistic: em_finalize does
+# tril + tril^T), this cuts the SM update FMAs ~2x.
 
 
 # Row-block widths for the upper-wedge A update, per variant.  The llk
@@ -150,7 +155,7 @@ def _make_kernel(want: str):
         elif want == "states":
             (s_ref, llk_ref, A_scr, Res_scr, in_sems) = rest
             SM_ref = None
-        else:  # "full" / "infer"
+        else:  # "full" / "infer" / "fullt"
             (s_ref, SM_ref, llk_ref, sq_ref, A_scr, Res_scr, in_sems) = rest
 
         k = A_scr.shape[1]
@@ -313,12 +318,24 @@ def _make_kernel(want: str):
                 s = s + w0 * jnp.sum(w0 * b, axis=0)[None, :]
                 s = s + w1 * jnp.sum(w1 * b, axis=0)[None, :]
                 if SM_ref is not None:
-                    # M^{-1} += wrow wrow^T: support is the leading
-                    # (j+1) x (j+1) block, j < j1.
-                    SM_ref[:j1, :j1] = SM_ref[:j1, :j1] + (
-                        jnp.expand_dims(w0h, 1) * jnp.expand_dims(w0h, 0)
-                        + jnp.expand_dims(w1h, 1) * jnp.expand_dims(w1h, 0)
-                    )
+                    if want == "fullt":
+                        # symmetric: only the lower wedge (row >= col) is
+                        # needed; rb-row blocks with cols [:r1] halve the FMAs
+                        for r0 in range(0, j1, TRI_RB_MAIN):
+                            r1 = min(r0 + TRI_RB_MAIN, j1)
+                            w0r, w1r = w0[r0:r1], w1[r0:r1]
+                            w0c, w1c = w0[:r1], w1[:r1]
+                            SM_ref[r0:r1, :r1] = SM_ref[r0:r1, :r1] + (
+                                jnp.expand_dims(w0r, 1) * jnp.expand_dims(w0c, 0)
+                                + jnp.expand_dims(w1r, 1) * jnp.expand_dims(w1c, 0)
+                            )
+                    else:
+                        # M^{-1} += wrow wrow^T: support is the leading
+                        # (j+1) x (j+1) block, j < j1.
+                        SM_ref[:j1, :j1] = SM_ref[:j1, :j1] + (
+                            jnp.expand_dims(w0h, 1) * jnp.expand_dims(w0h, 0)
+                            + jnp.expand_dims(w1h, 1) * jnp.expand_dims(w1h, 0)
+                        )
                 return (logdet, s)
 
             return body
@@ -449,7 +466,7 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
 
     # Raise the Mosaic VMEM allowance to what the buffers actually need (the
     # default ~16 MB limit is far below the chip's 128 MB and capped k at 72).
-    n_big = {"llk": 2, "states": 3, "full": 5, "infer": 5}[want]
+    n_big = {"llk": 2, "states": 3, "full": 5, "infer": 5, "fullt": 5}[want]
     # Mosaic also stack-allocates the kernel-body temporaries (each column
     # step holds a few (k, T) values), so leave generous headroom.
     vmem_bytes = n_big * k * k * T * 4 + 24 * (k + 4) * T * 4

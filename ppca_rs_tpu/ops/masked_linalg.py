@@ -176,7 +176,11 @@ def _kernel_block(C, CC, mean, sigma, data, mask_f):
     from . import kernels
 
     R, b_t, G3, rnorm, d_obs = _kernel_prep(C, CC, mean, sigma, data, mask_f)
-    s_t, SM3, llk, sq = kernels.spd_estep(sigma, G3, b_t, rnorm, d_obs[None, :])
+    # "fullt": SM's upper triangle is garbage (halves the kernel's SM FMAs);
+    # the S statistic is linear in SM, so em_finalize symmetrizes the SUM.
+    s_t, SM3, llk, sq = kernels.spd_estep(
+        sigma, G3, b_t, rnorm, d_obs[None, :], want="fullt"
+    )
     return s_t, SM3, llk[0], sq[0], R, d_obs
 
 
@@ -479,12 +483,17 @@ def em_finalize(
         # cannot lower (ANY-space inputs don't batch); callers there pass a
         # precomputed flattened-kernel solution via ``transform_rows``.
         batched = type(stats.S).__name__ == "BatchTracer"
+        # S is symmetric by construction; the kernel-path em_stats only fills
+        # its lower wedge (want="fullt"), so restore symmetry from the lower
+        # triangle — exact for an already-symmetric S.
+        S_sq = stats.S.reshape(D_loc, k, k)
+        S_sq = jnp.tril(S_sq) + jnp.swapaxes(jnp.tril(S_sq, -1), -1, -2)
         if transform_rows is not None:
             sol = transform_rows
         elif (not batched) and _use_kernel(k, D_loc, dtype, None) and D_loc % 128 == 0:
             from . import kernels
 
-            G3 = jnp.transpose(stats.S.reshape(D_loc, k, k), (1, 2, 0))
+            G3 = jnp.transpose(S_sq, (1, 2, 0))
             lam = jnp.asarray(transformation_precision, dtype)
             zeros = jnp.zeros((1, D_loc), dtype)
             sol_t, _ = kernels.spd_estep(
@@ -492,7 +501,7 @@ def em_finalize(
             )
             sol = sol_t.T
         else:
-            A = stats.S.reshape(D_loc, k, k) + transformation_precision * jnp.eye(k, dtype=dtype)
+            A = S_sq + transformation_precision * jnp.eye(k, dtype=dtype)
             sol = jnp.linalg.solve(A, stats.cross[..., None])[..., 0]
         ok = jnp.all(jnp.isfinite(sol), axis=-1, keepdims=True)
         new_C = jnp.where(ok, sol, C)

@@ -167,6 +167,32 @@ def test_kernel_infer_variant(rng, k):
     assert bool(jnp.all(jnp.isfinite(chol)))
 
 
+@pytest.mark.parametrize("k", [8, 13, 32])
+def test_kernel_fullt_lower_wedge(rng, k):
+    """want="fullt" matches "full" bit-for-bit on states/llk/sq and on the
+    lower triangle of SM (its upper triangle is declared garbage)."""
+    C = jnp.asarray(rng.normal(size=(24, k)), jnp.float32)
+    mean = jnp.asarray(rng.normal(size=24), jnp.float32)
+    sig = jnp.float32(0.7)
+    data = jnp.asarray(rng.normal(size=(128, 24)), jnp.float32)
+    mask = jnp.asarray(rng.random((128, 24)) > 0.4)
+    data = jnp.where(mask, data, 0.0)
+    mf = mask.astype(jnp.float32)
+    CC = ml.outer_flat(C)
+    post = ml.block_posterior(C, CC, mean, sig, data, mf)
+    G3 = jnp.transpose(post.G_local.reshape(128, k, k), (1, 2, 0))
+    rnorm = jnp.sum(post.R * post.R, axis=-1)[None, :]
+    dob = jnp.sum(mf, axis=-1)[None, :]
+    args = (sig, G3, post.b.T, rnorm, dob)
+    sf, SMf, lf, qf = kernels.spd_estep(*args, want="full", interpret=True)
+    st, SMt, lt, qt = kernels.spd_estep(*args, want="fullt", interpret=True)
+    np.testing.assert_array_equal(np.asarray(sf), np.asarray(st))
+    np.testing.assert_array_equal(np.asarray(lf), np.asarray(lt))
+    np.testing.assert_array_equal(np.asarray(qf), np.asarray(qt))
+    tril = np.tril(np.ones((k, k), np.float32))[:, :, None]
+    np.testing.assert_array_equal(np.asarray(SMf) * tril, np.asarray(SMt) * tril)
+
+
 @pytest.mark.parametrize("k,B", [(4, 128), (13, 100), (32, 256)])
 def test_spd_chol_matches_numpy(rng, k, B):
     """spd_chol == np.linalg.cholesky, incl. k- and B-padding paths."""

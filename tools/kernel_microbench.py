@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--k", type=int, default=64)
     ap.add_argument("--b", type=int, default=8192)
     ap.add_argument("--want", default="full",
-                    choices=["llk", "states", "full", "infer"])
+                    choices=["llk", "states", "full", "infer", "fullt"])
     ap.add_argument("--reps", type=int, default=20)
     args = ap.parse_args()
 
