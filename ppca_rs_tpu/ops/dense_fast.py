@@ -101,13 +101,14 @@ class DenseEMStats(NamedTuple):
     """Dense-path sufficient statistics.  ``S_common`` is the single (k, k)
     second-moment matrix shared by every output row; ``totals`` collapses to
     the scalar weight sum.  Sharding discipline matches
-    masked_linalg.EMStats: cross/total_dev are D-local; dev_sq needs the
-    model psum; llk/S_common/square_error/w_sum are model-replicated."""
+    masked_linalg.EMStats: cross/total_dev are D-local;
+    llk/S_common/square_error/w_sum/dev_sq are model-replicated (dev_sq is
+    computed from the model-full rnorm/b/G, not from local residual columns)."""
 
     cross: jax.Array         # (D_loc, k)
     S_common: jax.Array      # (k, k)
     square_error: jax.Array  # scalar
-    dev_sq: jax.Array        # scalar (model-LOCAL)
+    dev_sq: jax.Array        # scalar (model-replicated)
     total_dev: jax.Array     # (D_loc,)
     w_sum: jax.Array         # scalar (model-replicated)
     llk: jax.Array           # scalar (model-replicated)
@@ -115,7 +116,22 @@ class DenseEMStats(NamedTuple):
 
 def em_stats(C, mean, sigma, data, weights, *, block_size: int,
              axis_model: Optional[str] = None) -> DenseEMStats:
-    """Fused dense EM statistics, blocked over N for bounded temporaries."""
+    """Fused dense EM statistics, blocked over N for bounded temporaries.
+
+    The scan body never materializes a centered or residual (B, D) array:
+    every statistic is re-expressed against the raw data block plus k-sized
+    corrections, so each block costs TWO (B, D)x(D, k) matmuls (``data @ C``
+    and ``data^T @ sw``) and ~2 elementwise passes over the data — about
+    half the HBM traffic of the naive centered form:
+
+        b         = data C - mean C
+        cross     = R^T sw        = data^T sw - mean (sum sw)
+        |R|^2     = |data|^2 - 2 data.mean + |mean|^2     (row-wise)
+        |dev|^2   = |R - s C^T|^2 = |R|^2 - b.s - sigma^2 |s|^2   (row-wise;
+                    s^T G s = b.s - sigma^2 |s|^2 exactly, since M s = b and
+                    G = M - sigma^2 I)
+        total_dev = w R - (w s) C^T = w data - (sum w) mean - C (sum sw)
+    """
     n, D_loc = data.shape
     k = C.shape[1]
     dtype = compute_dtype(data.dtype, C.dtype)
@@ -123,24 +139,31 @@ def em_stats(C, mean, sigma, data, weights, *, block_size: int,
     post = dense_posterior(C, sigma, axis_model)
     d_obs = _psum(jnp.asarray(D_loc, dtype), axis_model)
     logdet_obs = post.logdet + 2.0 * jnp.log(sigma) * (d_obs - k)
+    G = post.M - sigma2 * jnp.eye(k, dtype=dtype)     # = C^T C (model-full)
+    # Loop-invariant centering corrections (model-axis partials psum'd once).
+    mC = mean @ C                                     # (k,) D_loc-partial
+    mm = jnp.sum(mean * mean)                         # scalar D_loc-partial
     _, (data3, w2) = _pad_blocks(n, block_size, data, weights)
 
     def body(acc, xs):
         datab, w = xs
         datab = datab.astype(dtype)
         w = w.astype(dtype)
-        R = datab - mean
-        b = _psum(R @ C, axis_model)
+        b = _psum(datab @ C - mC[None, :], axis_model)          # (B, k)
         s = b @ post.Minv
         sw = s * w[:, None]
-        cross = R.T @ sw
-        S_part = s.T @ sw                               # (k, k)
-        dev = R - s @ C.T
-        dev_sq = jnp.sum(w * jnp.sum(dev * dev, axis=-1))
-        total_dev = w @ dev
+        sw_sum = jnp.sum(sw, axis=0)                            # (k,)
         w_sum = jnp.sum(w)
-        rnorm = _psum(jnp.sum(R * R, axis=-1), axis_model)
-        quad = (rnorm - jnp.sum(b * s, axis=-1)) / sigma2
+        cross = datab.T @ sw - mean[:, None] * sw_sum[None, :]  # (D_loc, k)
+        S_part = s.T @ sw                                       # (k, k)
+        rnorm = _psum(
+            jnp.sum(datab * datab, axis=-1) - 2.0 * (datab @ mean) + mm,
+            axis_model,
+        )
+        bs = jnp.sum(b * s, axis=-1)
+        dev_sq = jnp.sum(w * (rnorm - bs - sigma2 * jnp.sum(s * s, axis=-1)))
+        total_dev = w @ datab - w_sum * mean - C @ sw_sum       # (D_loc,)
+        quad = (rnorm - bs) / sigma2
         llk_b = -0.5 * (quad + logdet_obs + LN_2PI * d_obs)
         llk = jnp.sum(w * llk_b)
         return (acc[0] + cross, acc[1] + S_part), (dev_sq, total_dev, w_sum, llk)
@@ -149,7 +172,6 @@ def em_stats(C, mean, sigma, data, weights, *, block_size: int,
     (cross, S_part), small = lax.scan(body, zero, (data3, w2))
     dev_sq, total_dev, w_sum, llk = (jnp.sum(x, axis=0) for x in small)
 
-    G = post.M - sigma2 * jnp.eye(k, dtype=dtype)
     S_common = S_part + w_sum * post.Sigma
     square_error = w_sum * jnp.sum(G * post.Sigma)
     return DenseEMStats(
@@ -181,7 +203,7 @@ def em_finalize(C, mean, sigma, stats: DenseEMStats, *,
         new_C = C
 
     d_obs = _psum(jnp.asarray(D_loc, dtype), axis_model)
-    sq = stats.square_error + _psum(stats.dev_sq, axis_model)
+    sq = stats.square_error + stats.dev_sq   # both model-replicated
     n_obs = stats.w_sum * d_obs
     if noise_prior is not None:
         alpha, beta = noise_prior

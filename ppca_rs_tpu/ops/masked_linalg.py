@@ -172,7 +172,8 @@ def _kernel_prep(C, CC, mean, sigma, data, mask_f):
 
 def _kernel_block(C, CC, mean, sigma, data, mask_f):
     """One block through the full fused kernel.
-    Returns (s_t (k,B), SM3 (k,k,B), llk (B,), sq (B,), R (B,D), d_obs (B,))."""
+    Returns (s_t (k,B), SM3 (k,k,B), llk (B,), sq (B,), b_t (k,B),
+    rnorm (B,), R (B,D), d_obs (B,))."""
     from . import kernels
 
     R, b_t, G3, rnorm, d_obs = _kernel_prep(C, CC, mean, sigma, data, mask_f)
@@ -181,7 +182,7 @@ def _kernel_block(C, CC, mean, sigma, data, mask_f):
     s_t, SM3, llk, sq = kernels.spd_estep(
         sigma, G3, b_t, rnorm, d_obs[None, :], want="fullt"
     )
-    return s_t, SM3, llk[0], sq[0], R, d_obs
+    return s_t, SM3, llk[0], sq[0], b_t, rnorm[0], R, d_obs
 
 
 def _pad_blocks(n: int, block_size: int, *arrays):
@@ -390,14 +391,23 @@ def em_stats(
                 (sq_err, dev_sq, tdev, totals, llk),
             )
         if use_kernel:
-            s_t, SM3, llk_b, sq_b, R, dob = _kernel_block(C, CC, mean, sigma, datab, mask_f)
+            s_t, SM3, llk_b, sq_b, b_t, rn, R, dob = _kernel_block(
+                C, CC, mean, sigma, datab, mask_f
+            )
             SM_t = SM3.reshape(k * k, -1)
-            cross = lax.dot_general(R, s_t * w[None, :], (((0,), (1,)), ((), ())))
+            sw_t = s_t * w[None, :]
+            cross = lax.dot_general(R, sw_t, (((0,), (1,)), ((), ())))
             S = lax.dot_general(mask_f * w[:, None], SM_t, (((0,), (1,)), ((), ())))
             square_error = jnp.sum(w * sq_b)
-            dev = mask_f * (datab - lax.dot_general(s_t, C, (((0,), (1,)), ((), ()))) - mean)
-            dev_sq = jnp.sum(w * jnp.sum(dev * dev, axis=-1))
-            total_dev = w @ dev
+            # No residual materialization: with M s = b and G = M - sigma^2 I,
+            # s^T G s = b.s - sigma^2 |s|^2 exactly, so the masked residual
+            # norm |mask*(y - s C^T - mean)|^2 = rnorm - b.s - sigma^2 |s|^2,
+            # and w @ dev collapses to w @ R minus a (D, k) contraction.
+            bs = jnp.sum(b_t * s_t, axis=0)
+            s2 = jnp.sum(s_t * s_t, axis=0)
+            dev_sq = jnp.sum(w * (rn - bs - (sigma * sigma) * s2))
+            msw = lax.dot_general(mask_f, sw_t, (((0,), (1,)), ((), ())))
+            total_dev = w @ R - jnp.sum(C * msw, axis=-1)
             totals = w @ mask_f
             llk = jnp.sum(w * llk_b)
             return (

@@ -107,7 +107,9 @@ def _block_post(Cs, CCs, means, sigmas, datab, mask_f,
         Mmat = G + sigma2[..., None] * jnp.eye(k, dtype=dtype)
         L = jnp.linalg.cholesky(Mmat)
         s = jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
-        if want in ("full", "infer"):
+        if want in ("full", "infer", "fullt"):
+            # (the XLA fallback has no wedge savings: "fullt" just returns
+            # the full symmetric SM, which trivially satisfies the contract)
             eye = jnp.broadcast_to(jnp.eye(k, dtype=dtype), Mmat.shape)
             Sigma = sigma2[..., None] * jax.scipy.linalg.cho_solve((L, True), eye)
             if want == "infer":
@@ -229,13 +231,22 @@ def _block_post_pat(Cs, means, sigmas, tables, datab, mask_f, pidx,
     return R, llks, s, Sig_b, jnp.take(sq_tab, pidx, axis=1)
 
 
+# Kernel variant for the fused-EM second moment ("fullt" = lower-wedge SM,
+# symmetrized once in mix_em_finalize; "full" = plain).  Module-level so
+# microbenches can A/B the two.
+EM_WANT = "fullt"
+
+
 def _block_mix(Cs, CCs, means, sigmas, log_weights, datab, mask_f, w,
                use_kernel: bool, axis_model: Optional[str]):
     """One block: per-component posteriors + responsibilities + weighted
     M-step contributions for every component."""
     M, D_loc, k = Cs.shape
+    # EM_WANT="fullt": SM's upper triangle is kernel garbage (halves the SM
+    # FMAs); the S statistic below is linear in SM, and mix_em_finalize
+    # restores symmetry of the summed S before any consumer reads it.
     R, llks, s, SM, sq_b = _block_post(
-        Cs, CCs, means, sigmas, datab, mask_f, use_kernel, axis_model, "full"
+        Cs, CCs, means, sigmas, datab, mask_f, use_kernel, axis_model, EM_WANT
     )
 
     # responsibilities (mix.rs:289-295) and the mixture llk — same pass.
@@ -655,7 +666,12 @@ def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
 
             S_sc = stats.S * inv_scale[:, None, None]
             cr_sc = stats.cross * inv_scale[:, None, None]
-            G3 = jnp.transpose(S_sc.reshape(M * D_loc, k, k), (1, 2, 0))
+            # The fused EM path accumulates S with want="fullt" (upper
+            # triangle garbage); the SPD kernel reads the upper wedge, so
+            # restore symmetry from the valid lower triangle first.
+            S_sq = S_sc.reshape(M * D_loc, k, k)
+            S_sq = jnp.tril(S_sq) + jnp.swapaxes(jnp.tril(S_sq, -1), -1, -2)
+            G3 = jnp.transpose(S_sq, (1, 2, 0))
             lam = jnp.asarray(transformation_precision, Cs.dtype)
             zeros = jnp.zeros((1, M * D_loc), Cs.dtype)
             sol_t, _ = kernels.spd_estep(

@@ -227,3 +227,46 @@ def test_supported_gate():
     assert not kernels.supported(kernels.MAX_K + 1, 8192, jnp.float32)
     assert not kernels.supported(64, 100, jnp.float32)
     assert not kernels.supported(64, 8192, jnp.float64)
+
+
+def test_kernel_routed_em_stats_matches_xla(rng, monkeypatch):
+    """The kernel-routed em_stats body (lane-major statistics, the
+    no-residual dev_sq/total_dev identities) == the XLA fallback body,
+    end to end, in interpret mode."""
+    import functools
+
+    B, D, k = 256, 128, 16
+    C = jnp.asarray(rng.normal(size=(D, k)), jnp.float32)
+    mean = jnp.asarray(rng.normal(size=D), jnp.float32)
+    sig = jnp.float32(0.7)
+    data = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, D)) > 0.4)
+    mask = mask.at[3].set(False)                      # all-masked row
+    data = jnp.where(mask, data, 0.0)
+    w = jnp.asarray(rng.random(B) + 0.5, jnp.float32)
+    w = w.at[7].set(0.0)                              # zero-weight row
+
+    ref = ml.em_stats(C, mean, sig, data, mask, w, block_size=128)
+
+    monkeypatch.setattr(ml, "_use_kernel", lambda *a: True)
+    monkeypatch.setattr(
+        kernels, "spd_estep", functools.partial(kernels.spd_estep, interpret=True)
+    )
+    got = ml.em_stats(C, mean, sig, data, mask, w, block_size=128)
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+
+    assert rel(got.cross, ref.cross) < 1e-4
+    # S from the kernel path only fills the lower wedge of each (k, k)
+    # block (want="fullt"); compare after the em_finalize symmetrization.
+    tril = np.tril(np.ones((k, k)))
+    S_got = np.asarray(got.S, np.float64).reshape(D, k, k) * tril
+    S_got = S_got + np.triu(np.swapaxes(S_got, -1, -2), 1)
+    assert rel(S_got, np.asarray(ref.S, np.float64).reshape(D, k, k)) < 1e-4
+    assert rel(got.square_error, ref.square_error) < 1e-4
+    assert rel(got.dev_sq, ref.dev_sq) < 1e-3
+    assert rel(got.total_dev, ref.total_dev) < 1e-3
+    assert rel(got.totals, ref.totals) < 1e-6
+    assert rel(got.llk, ref.llk) < 1e-5
