@@ -237,10 +237,117 @@ def _block_post_pat(Cs, means, sigmas, tables, datab, mask_f, pidx,
 EM_WANT = "fullt"
 
 
+def _block_mix_fast(Cs, Cs_t, Cdm_t, CCs_t, mean0, dm, dm2, sigmas,
+                    log_weights, datab, mask_f, w, use_kernel: bool):
+    """One block of the fused mixture EM in the axis_model-free fast form:
+    no (M, B, D) temporary anywhere.
+
+    - Component centering is the _center_prep trick: every per-component
+      projection is a shared matmul against ``mask*(data - mean0)`` and
+      ``mask`` (R = md0 - mask*dm_m never exists).
+    - The kernel operands are produced DIRECTLY in lane-major [*, m, b]
+      layout by pre-transposed ``(.., M, D)`` operands — the (M, B, k^2)
+      Gram/SM transposes of the naive form (134 MB each per 8k block at
+      D=512, M=8) disappear.
+    - Residual statistics use s^T G s = b.s - sigma^2 |s|^2 (M s = b), so
+      dev_sq needs only k-sized per-sample quantities and total_dev two
+      (M, D) contractions (same identities as the single-model paths).
+    """
+    M, D_loc, k = Cs.shape
+    B = datab.shape[0]
+    dtype = datab.dtype
+    q = k * k
+    hp = jax.lax.Precision.HIGHEST
+
+    md0 = mask_f * (datab - mean0[None, :])                       # (B, D)
+    b_lane = (lax.dot_general(Cs_t, md0, (((1,), (1,)), ((), ())))
+              - lax.dot_general(Cdm_t, mask_f, (((1,), (1,)), ((), ()))))  # (kM, B)
+    rd2 = jnp.sum(md0 * md0, axis=-1)                             # (B,)
+    mdm = jnp.matmul(md0, dm.T, precision=hp)                     # (B, M)
+    m2 = jnp.matmul(mask_f, dm2.T, precision=hp)                  # (B, M)
+    rnorm = (rd2[:, None] - 2.0 * mdm + m2).T                     # (M, B)
+    d_obs = jnp.sum(mask_f, axis=-1)                              # (B,)
+    sigma2 = (sigmas * sigmas)[:, None]
+
+    if use_kernel:
+        from . import kernels
+
+        G_lane = lax.dot_general(CCs_t, mask_f, (((1,), (1,)), ((), ())))  # (qM, B)
+        sig_lane = jnp.repeat(sigmas, B)[None, :]
+        dob_lane = jnp.tile(d_obs, M)[None, :]
+        s_t, SM3, llk_l, sq_l = kernels.spd_estep(
+            sig_lane, G_lane.reshape(k, k, M * B), b_lane.reshape(k, M * B),
+            rnorm.reshape(1, M * B), dob_lane, want=EM_WANT,
+        )
+        llks = llk_l.reshape(M, B)
+        sq_b = sq_l.reshape(M, B)
+        s3 = s_t.reshape(k, M, B)
+        SM3v = SM3.reshape(q, M, B)
+        bs = jnp.sum(b_lane.reshape(k, M, B) * s3, axis=0)        # (M, B)
+        s2 = jnp.sum(s3 * s3, axis=0)
+    else:
+        b = b_lane.reshape(k, M, B).transpose(1, 2, 0)            # (M, B, k)
+        G = lax.dot_general(CCs_t, mask_f, (((1,), (1,)), ((), ())))
+        G = G.reshape(q, M, B).transpose(1, 2, 0)                 # (M, B, q)
+        eye = jnp.eye(k, dtype=dtype)
+        Mmat = G.reshape(M, B, k, k) + sigma2[..., None, None] * eye
+        L = jnp.linalg.cholesky(Mmat)
+        s = jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
+        Sigma = sigma2[..., None, None] * jax.scipy.linalg.cho_solve(
+            (L, True), jnp.broadcast_to(eye, Mmat.shape)
+        )
+        SM = (s[..., :, None] * s[..., None, :] + Sigma).reshape(M, B, q)
+        sq_b = jnp.sum(G * Sigma.reshape(M, B, q), axis=-1)
+        if k > 0:
+            diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+            logdet_m = 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+        else:
+            logdet_m = jnp.zeros((M, B), dtype)
+        bs = jnp.sum(b * s, axis=-1)
+        s2 = jnp.sum(s * s, axis=-1)
+        quad = (rnorm - bs) / sigma2
+        logdet = logdet_m + 2.0 * jnp.log(sigmas)[:, None] * (d_obs[None, :] - k)
+        llks = -0.5 * (quad + logdet + LN_2PI * d_obs[None, :])
+        s3 = s.transpose(2, 0, 1)                                 # (k, M, B)
+        SM3v = SM.transpose(2, 0, 1)                              # (q, M, B)
+
+    # responsibilities (mix.rs:289-295) and the mixture llk — same pass.
+    joint = llks + log_weights[:, None]                           # (M, B)
+    mx = jnp.max(joint, axis=0)
+    lse = mx + jnp.log(jnp.sum(jnp.exp(joint - mx[None, :]), axis=0))
+    post = jnp.exp(joint - lse[None, :])
+    llk_mix = jnp.sum(w * lse)
+    resp = post * w[None, :]                                      # (M, B)
+
+    # responsibility-weighted M-step statistics, all lane-major matmuls.
+    srw = (s3 * resp[None, :, :]).reshape(k * M, B)
+    c1 = lax.dot_general(srw, md0, (((1,), (0,)), ((), ())))      # (kM, D)
+    c2 = lax.dot_general(srw, mask_f, (((1,), (0,)), ((), ())))   # (kM, D)
+    c2t = jnp.transpose(c2.reshape(k, M, D_loc), (1, 2, 0))       # (M, D, k)
+    cross = jnp.transpose(c1.reshape(k, M, D_loc), (1, 2, 0)) - dm[:, :, None] * c2t
+    SMw = (SM3v * resp[None, :, :]).reshape(q * M, B)
+    S = jnp.transpose(
+        lax.dot_general(SMw, mask_f, (((1,), (0,)), ((), ()))).reshape(q, M, D_loc),
+        (1, 2, 0),
+    )
+    dev_sq = jnp.sum(resp * (rnorm - bs - sigma2 * s2), axis=-1)
+    rm = lax.dot_general(resp, mask_f, (((1,), (0,)), ((), ())))  # (M, D)
+    t1 = lax.dot_general(resp, md0, (((1,), (0,)), ((), ())))     # (M, D)
+    total_dev = t1 - dm * rm - jnp.sum(Cs * c2t, axis=-1)
+    totals = rm
+    square_error = jnp.sum(resp * sq_b, axis=-1)
+    resp_sum = jnp.sum(resp, axis=-1)
+    resp_max = jnp.max(resp, axis=-1)
+
+    return MixEMStats(cross, S, square_error, dev_sq, total_dev, totals,
+                      resp_sum, resp_max, llk_mix)
+
+
 def _block_mix(Cs, CCs, means, sigmas, log_weights, datab, mask_f, w,
                use_kernel: bool, axis_model: Optional[str]):
     """One block: per-component posteriors + responsibilities + weighted
-    M-step contributions for every component."""
+    M-step contributions for every component.  (The model-axis-sharded
+    form; the unsharded fast path is :func:`_block_mix_fast`.)"""
     M, D_loc, k = Cs.shape
     # EM_WANT="fullt": SM's upper triangle is kernel garbage (halves the SM
     # FMAs); the S statistic below is linear in SM, and mix_em_finalize
@@ -524,11 +631,27 @@ def mix_em_stats(Cs, means, sigmas, log_weights, data, mask, weights, *,
     use_kernel = ml._use_kernel(k, block_size, dtype, axis_model)
     _, (data3, mask3, w2) = _pad_blocks(n, block_size, data, mask, weights)
 
+    if axis_model is None:
+        # Loop-invariant operands of the fast block, hoisted: centering
+        # pieces and the (.., M, D)-flattened transposes that make every
+        # per-block contraction land in the kernel's lane-major layout.
+        mean0, dm, Cdm = _center_prep(Cs, means)
+        Cs_t = jnp.transpose(Cs, (2, 0, 1)).reshape(k * M, D_loc)
+        Cdm_t = jnp.transpose(Cdm, (2, 0, 1)).reshape(k * M, D_loc)
+        CCs_t = jnp.transpose(CCs, (2, 0, 1)).reshape(k * k * M, D_loc)
+        dm2 = dm * dm
+
     def body(acc, xs):
         datab, maskb, w = xs
-        new = _block_mix(Cs, CCs, means, sigmas, log_weights,
-                         datab.astype(dtype), maskb.astype(dtype),
-                         w.astype(dtype), use_kernel, axis_model)
+        if axis_model is None:
+            new = _block_mix_fast(Cs, Cs_t, Cdm_t, CCs_t, mean0, dm, dm2,
+                                  sigmas, log_weights, datab.astype(dtype),
+                                  maskb.astype(dtype), w.astype(dtype),
+                                  use_kernel)
+        else:
+            new = _block_mix(Cs, CCs, means, sigmas, log_weights,
+                             datab.astype(dtype), maskb.astype(dtype),
+                             w.astype(dtype), use_kernel, axis_model)
         big = (acc[0] + new.cross, acc[1] + new.S)
         small = (new.square_error, new.dev_sq, new.total_dev, new.totals,
                  new.resp_sum, new.resp_max, new.llk)
@@ -561,6 +684,8 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
     P = patterns_f.shape[0]
     tables = compute_mix_tables(Cs, sigmas, patterns_f)
     group_outer = P <= D_loc
+    center = _center_prep(Cs, means)
+    mean0, dm, _ = center
     _, (data3, mask3, pidx3, w2) = _pad_blocks(n, block_size, data, mask, pidx, weights)
 
     def body(acc, xs):
@@ -569,9 +694,12 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
         mask_f = maskb.astype(dtype)
         w = w.astype(dtype)
         B = datab.shape[0]
-        R, llks, s, _, sq_b = _block_post_pat(
-            Cs, means, sigmas, tables, datab, mask_f, pb
+        # center => no (M, B, D) R; b/rnorm come from shared matmuls against
+        # mask*(data - mean0) and mask (see _block_post_pat).
+        _, llks, s, _, sq_b = _block_post_pat(
+            Cs, means, sigmas, tables, datab, mask_f, pb, center
         )
+        md0 = mask_f * (datab - mean0[None, :])             # (B,D) shared
 
         joint = llks + log_weights[:, None]                 # (M,B)
         lse = _logsumexp0(joint)
@@ -579,7 +707,13 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
         llk_mix = jnp.sum(w * lse)
         resp = post * w[None, :]
 
-        cross = jnp.einsum("mbd,mbk->mdk", R, s * resp[..., None])
+        # cross = sum_b R_m (s resp): R_m = md0 - mask*dm_m never exists —
+        # two shared flattened matmuls + a dm-scaled correction.
+        srw = (s * resp[..., None]).transpose(2, 0, 1).reshape(k * M, B)
+        c1 = lax.dot_general(srw, md0, (((1,), (0,)), ((), ())))
+        c2 = lax.dot_general(srw, mask_f, (((1,), (0,)), ((), ())))
+        c2t = jnp.transpose(c2.reshape(k, M, D_loc), (1, 2, 0))     # (M,D,k)
+        cross = jnp.transpose(c1.reshape(k, M, D_loc), (1, 2, 0)) - dm[:, :, None] * c2t
         outer_s = (s[..., :, None] * s[..., None, :]).reshape(M, B, k * k)
         onehot = (pb[:, None] == jnp.arange(P, dtype=pb.dtype)[None, :]).astype(dtype)
         wsum = jnp.einsum("mb,bp->mp", resp, onehot)        # (M,P)
@@ -588,10 +722,25 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
         else:
             Souter = jnp.einsum("bd,mbq->mdq", mask_f, outer_s * resp[..., None])
 
-        dev = mask_f[None] * (datab[None] - jnp.einsum("mbk,mdk->mbd", s, Cs)
-                              - means[:, None, :])
-        dev_sq = jnp.sum(resp * jnp.sum(dev * dev, axis=-1), axis=-1)
-        total_dev = jnp.einsum("mb,mbd->md", resp, dev)
+        # Residual statistics without the (M, B, D) dev array: s = M^{-1} b
+        # exactly (s = Sigma b / sigma^2), so s^T G s = b.s - sigma^2 |s|^2
+        # and |dev|^2 = rnorm - b.s - sigma^2 |s|^2 per sample.  rnorm/b are
+        # recomputed k-cheap from the center expansion pieces already used
+        # inside _block_post_pat (b) — only bs/|s|^2 are needed here.
+        hp = jax.lax.Precision.HIGHEST
+        sigma2 = (sigmas * sigmas)[:, None]
+        rd2 = jnp.sum(md0 * md0, axis=-1)
+        mdm = jnp.matmul(md0, dm.T, precision=hp)
+        m2 = jnp.matmul(mask_f, (dm * dm).T, precision=hp)
+        rnorm = (rd2[:, None] - 2.0 * mdm + m2).T           # (M,B)
+        b = (jnp.einsum("bd,mdk->mbk", md0, Cs)
+             - jnp.einsum("bd,mdk->mbk", mask_f, center[2]))
+        bs = jnp.sum(b * s, axis=-1)
+        s2 = jnp.sum(s * s, axis=-1)
+        dev_sq = jnp.sum(resp * (rnorm - bs - sigma2 * s2), axis=-1)
+        rm = lax.dot_general(resp, mask_f, (((1,), (0,)), ((), ())))
+        t1 = lax.dot_general(resp, md0, (((1,), (0,)), ((), ())))
+        total_dev = t1 - dm * rm - jnp.sum(Cs * c2t, axis=-1)
         square_error = jnp.sum(resp * sq_b, axis=-1)
         resp_sum = jnp.sum(resp, axis=-1)
         resp_max = jnp.max(resp, axis=-1)

@@ -203,7 +203,8 @@ def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
         w = w.astype(dtype)
         R, b, s, llk_b = _block_states_llk(C, mean, sigma, tables, datab, mask_f, pb)
 
-        cross = lax.dot_general(R, s * w[:, None], (((0,), (0,)), ((), ())))  # (D, k)
+        sw = s * w[:, None]
+        cross = lax.dot_general(R, sw, (((0,), (0,)), ((), ())))              # (D, k)
         outer_s = (s[:, :, None] * s[:, None, :]).reshape(s.shape[0], k * k)
         onehot = (pb[:, None] == jnp.arange(P, dtype=pb.dtype)[None, :]).astype(dtype)
         wsum = w @ onehot                                                     # (P,)
@@ -216,9 +217,17 @@ def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
                 mask_f * w[:, None], outer_s, (((0,), (0,)), ((), ()))
             )                                                                 # (D, k*k)
 
-        dev = mask_f * (datab - s @ C.T - mean)
-        dev_sq = jnp.sum(w * jnp.sum(dev * dev, axis=-1))
-        total_dev = w @ dev
+        # No residual array: s = M^{-1} b exactly (s = Sigma b / sigma^2),
+        # so |mask*(y - s C^T - mean)|^2 = rnorm - b.s - sigma^2 |s|^2 and
+        # w @ dev = w @ R - sum_k C (mask^T sw) — the same identities as
+        # masked_linalg.em_stats (rnorm/b.s CSE with _block_states_llk).
+        rnorm = jnp.sum(R * R, axis=-1)
+        bs = jnp.sum(b * s, axis=-1)
+        dev_sq = jnp.sum(
+            w * (rnorm - bs - (sigma * sigma) * jnp.sum(s * s, axis=-1))
+        )
+        msw = lax.dot_general(mask_f, sw, (((0,), (0,)), ((), ())))           # (D, k)
+        total_dev = w @ R - jnp.sum(C * msw, axis=-1)
         llk = jnp.sum(w * llk_b)
         return (
             (acc[0] + cross, acc[1] + Souter, acc[2] + wsum),

@@ -339,3 +339,59 @@ def test_heterogeneous_rides_fused_path(rng):
         llk = cur.llk(data)
         assert llk >= prev - 1e-8
         prev = llk
+
+
+def test_kernel_routed_mix_em_matches_fallback(rng, monkeypatch):
+    """The kernel-routed lane-major fast block == the XLA fallback block,
+    end to end through mix_em_stats, in interpret mode (f32)."""
+    import functools
+
+    import jax.numpy as jnp
+    from ppca_rs_tpu.ops import kernels
+    from ppca_rs_tpu.ops import masked_linalg as ml
+    from ppca_rs_tpu.ops import mix_fused as mf
+
+    M, B, D, k = 3, 128, 64, 8
+    Cs = jnp.asarray(rng.normal(size=(M, D, k)), jnp.float32) * 0.5
+    means = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    sigmas = jnp.asarray(0.5 + rng.random(M), jnp.float32)
+    lw = jnp.log(jnp.full((M,), 1.0 / M, jnp.float32))
+    data = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, D)) > 0.4)
+    mask = mask.at[3].set(False)
+    data = jnp.where(mask, data, 0.0)
+    w = jnp.asarray(rng.random(B) + 0.5, jnp.float32)
+    w = w.at[7].set(0.0)
+
+    ref = mf.mix_em_stats(Cs, means, sigmas, lw, data, mask, w, block_size=128)
+
+    monkeypatch.setattr(ml, "_use_kernel", lambda *a: True)
+    monkeypatch.setattr(
+        kernels, "spd_estep", functools.partial(kernels.spd_estep, interpret=True)
+    )
+    got = mf.mix_em_stats(Cs, means, sigmas, lw, data, mask, w, block_size=128)
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+
+    assert rel(got.cross, ref.cross) < 1e-4
+    # S from the kernel block only fills the lower wedge of each (k, k)
+    # square (want="fullt"); compare after symmetrization from the lower
+    # triangle, which is what mix_em_finalize consumes.
+    tril = np.tril(np.ones((k, k)))
+
+    def sym(S):
+        Ssq = np.asarray(S, np.float64).reshape(M, -1, k, k) * tril
+        return Ssq + np.triu(np.swapaxes(Ssq, -1, -2), 1)
+
+    assert rel(sym(got.S), sym(ref.S)) < 1e-4
+    assert rel(got.square_error, ref.square_error) < 1e-4
+    assert rel(got.dev_sq, ref.dev_sq) < 1e-3
+    assert rel(got.total_dev, ref.total_dev) < 1e-3
+    # totals = resp @ mask: not mask-exact — the responsibilities themselves
+    # differ at f32 between the two llk computations.
+    assert rel(got.totals, ref.totals) < 1e-5
+    assert rel(got.resp_sum, ref.resp_sum) < 1e-5
+    assert rel(got.resp_max, ref.resp_max) < 1e-5
+    assert rel(got.llk, ref.llk) < 1e-5
