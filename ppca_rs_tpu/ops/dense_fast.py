@@ -161,7 +161,11 @@ def em_stats(C, mean, sigma, data, weights, *, block_size: int,
             axis_model,
         )
         bs = jnp.sum(b * s, axis=-1)
-        dev_sq = jnp.sum(w * (rnorm - bs - sigma2 * jnp.sum(s * s, axis=-1)))
+        # clamp: the cancellation can dip epsilon-negative in f32 when the
+        # model explains the data almost exactly (|dev|^2 ~ 0); a negative
+        # sum would NaN the sigma update via sqrt.
+        dev_sq = jnp.sum(w * jnp.maximum(
+            rnorm - bs - sigma2 * jnp.sum(s * s, axis=-1), 0.0))
         total_dev = w @ datab - w_sum * mean - C @ sw_sum       # (D_loc,)
         quad = (rnorm - bs) / sigma2
         llk_b = -0.5 * (quad + logdet_obs + LN_2PI * d_obs)

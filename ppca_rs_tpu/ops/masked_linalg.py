@@ -405,7 +405,8 @@ def em_stats(
             # and w @ dev collapses to w @ R minus a (D, k) contraction.
             bs = jnp.sum(b_t * s_t, axis=0)
             s2 = jnp.sum(s_t * s_t, axis=0)
-            dev_sq = jnp.sum(w * (rn - bs - (sigma * sigma) * s2))
+            # clamp: epsilon-negative in f32 iff |dev|^2 ~ 0 (see dense_fast)
+            dev_sq = jnp.sum(w * jnp.maximum(rn - bs - (sigma * sigma) * s2, 0.0))
             msw = lax.dot_general(mask_f, sw_t, (((0,), (1,)), ((), ())))
             total_dev = w @ R - jnp.sum(C * msw, axis=-1)
             totals = w @ mask_f

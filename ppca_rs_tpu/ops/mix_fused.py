@@ -330,7 +330,8 @@ def _block_mix_fast(Cs, Cs_t, Cdm_t, CCs_t, mean0, dm, dm2, sigmas,
         lax.dot_general(SMw, mask_f, (((1,), (0,)), ((), ()))).reshape(q, M, D_loc),
         (1, 2, 0),
     )
-    dev_sq = jnp.sum(resp * (rnorm - bs - sigma2 * s2), axis=-1)
+    # clamp: epsilon-negative in f32 iff |dev|^2 ~ 0 (see dense_fast)
+    dev_sq = jnp.sum(resp * jnp.maximum(rnorm - bs - sigma2 * s2, 0.0), axis=-1)
     rm = lax.dot_general(resp, mask_f, (((1,), (0,)), ((), ())))  # (M, D)
     t1 = lax.dot_general(resp, md0, (((1,), (0,)), ((), ())))     # (M, D)
     total_dev = t1 - dm * rm - jnp.sum(Cs * c2t, axis=-1)
@@ -737,7 +738,9 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
              - jnp.einsum("bd,mdk->mbk", mask_f, center[2]))
         bs = jnp.sum(b * s, axis=-1)
         s2 = jnp.sum(s * s, axis=-1)
-        dev_sq = jnp.sum(resp * (rnorm - bs - sigma2 * s2), axis=-1)
+        # clamp: epsilon-negative in f32 iff |dev|^2 ~ 0 (see dense_fast)
+        dev_sq = jnp.sum(resp * jnp.maximum(rnorm - bs - sigma2 * s2, 0.0),
+                         axis=-1)
         rm = lax.dot_general(resp, mask_f, (((1,), (0,)), ((), ())))
         t1 = lax.dot_general(resp, md0, (((1,), (0,)), ((), ())))
         total_dev = t1 - dm * rm - jnp.sum(Cs * c2t, axis=-1)

@@ -223,9 +223,9 @@ def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
         # masked_linalg.em_stats (rnorm/b.s CSE with _block_states_llk).
         rnorm = jnp.sum(R * R, axis=-1)
         bs = jnp.sum(b * s, axis=-1)
-        dev_sq = jnp.sum(
-            w * (rnorm - bs - (sigma * sigma) * jnp.sum(s * s, axis=-1))
-        )
+        # clamp: epsilon-negative in f32 iff |dev|^2 ~ 0 (see dense_fast)
+        dev_sq = jnp.sum(w * jnp.maximum(
+            rnorm - bs - (sigma * sigma) * jnp.sum(s * s, axis=-1), 0.0))
         msw = lax.dot_general(mask_f, sw, (((0,), (0,)), ((), ())))           # (D, k)
         total_dev = w @ R - jnp.sum(C * msw, axis=-1)
         llk = jnp.sum(w * llk_b)
