@@ -34,10 +34,11 @@ def main():
     )
     ds = real.sample(100_000, 0.0, key=key)
     model = PPCAModel.init(2, ds, key=key)
-    model, _ = model._iterate_with_llk(ds, None)  # compile
+    # compile the 10-iteration scan with a different init (same program,
+    # different operands — the remote dispatch caches results per args)
+    PPCAModel.init(2, ds, key=jax.random.PRNGKey(99)).iterate_n(ds, 10)
     t0 = time.perf_counter()
-    for _ in range(10):
-        model, llk = model._iterate_with_llk(ds, None)
+    model, llks = model.iterate_n(ds, 10)
     jax.block_until_ready(model._transform)
     dt = time.perf_counter() - t0
     rows.append(("toy fully-observed (D=16, k=2, N=100k, 10 EM iters)",
@@ -134,8 +135,10 @@ def main():
         .with_transformation_precision(0.1)
         .with_mean_prior(np.zeros(64), np.eye(64))
     )
-    PPCATrainer(dds).train(state_size=8, n_iters=1, prior=prior,
-                           quiet=True, key=jax.random.PRNGKey(8))  # compile
+    # compile the exact 10-iteration scan program with a different init key
+    # (same program, different operands — remote results are cached per args)
+    PPCATrainer(dds).train(state_size=8, n_iters=10, prior=prior,
+                           quiet=True, key=jax.random.PRNGKey(98))
     t0 = time.perf_counter()
     model = PPCATrainer(dds).train(state_size=8, n_iters=10, prior=prior,
                                    quiet=True, key=jax.random.PRNGKey(8))

@@ -33,23 +33,49 @@ from ..utils.serialization import dump_bytes, load_bytes
 from .ppca import InferredMasked, PosteriorSampler, PPCAModel, _precision
 
 
+def _mix_em_body(Cs, means, sigmas, log_weights, data, mask, weights,
+                 tprec, noise_prior, mean_prior, block_size):
+    """One fused mixture EM step: ((Cs, means, sigmas, logw), llk-before).
+    The shared body behind the one-step jit and the n-step scan."""
+    stats = mf.mix_em_stats(
+        Cs, means, sigmas, log_weights, data, mask, weights,
+        block_size=block_size,
+    )
+    out = mf.mix_em_finalize(
+        Cs, means, sigmas, stats,
+        transformation_precision=tprec,
+        noise_prior=noise_prior,
+        mean_prior=mean_prior,
+    )
+    return out, stats.llk
+
+
+def _mix_em_body_pat(Cs, means, sigmas, log_weights, data, mask, pidx, pats,
+                     weights, tprec, noise_prior, mean_prior, block_size):
+    stats = mf.mix_em_stats_pat(
+        Cs, means, sigmas, log_weights, data, mask, pidx, pats, weights,
+        block_size=block_size,
+    )
+    out = mf.mix_em_finalize(
+        Cs, means, sigmas, stats,
+        transformation_precision=tprec,
+        noise_prior=noise_prior,
+        mean_prior=mean_prior,
+    )
+    return out, stats.llk
+
+
 @functools.partial(jax.jit, static_argnames=("block_size",))
 def _mix_em_jit(Cs, means, sigmas, log_weights, data, mask, weights,
                 tprec, noise_prior, mean_prior, block_size):
     """Fused mixture EM step (ops/mix_fused.py): one pass over the data for
     all components' responsibilities + statistics, vs the reference's 2M
     passes (`mix.rs:281-337`)."""
-    stats = mf.mix_em_stats(
+    (Cs, means, sigmas, logw), llk = _mix_em_body(
         Cs, means, sigmas, log_weights, data, mask, weights,
-        block_size=block_size,
+        tprec, noise_prior, mean_prior, block_size,
     )
-    new_Cs, new_means, new_sigmas, new_logw = mf.mix_em_finalize(
-        Cs, means, sigmas, stats,
-        transformation_precision=tprec,
-        noise_prior=noise_prior,
-        mean_prior=mean_prior,
-    )
-    return new_Cs, new_means, new_sigmas, new_logw, stats.llk
+    return Cs, means, sigmas, logw, llk
 
 
 @functools.partial(jax.jit, static_argnames=("block_size",))
@@ -60,17 +86,11 @@ def _mix_llks_jit(Cs, means, sigmas, data, mask, block_size):
 @functools.partial(jax.jit, static_argnames=("block_size",))
 def _mix_em_pat_jit(Cs, means, sigmas, log_weights, data, mask, pidx, pats,
                     weights, tprec, noise_prior, mean_prior, block_size):
-    stats = mf.mix_em_stats_pat(
+    (Cs, means, sigmas, logw), llk = _mix_em_body_pat(
         Cs, means, sigmas, log_weights, data, mask, pidx, pats, weights,
-        block_size=block_size,
+        tprec, noise_prior, mean_prior, block_size,
     )
-    new_Cs, new_means, new_sigmas, new_logw = mf.mix_em_finalize(
-        Cs, means, sigmas, stats,
-        transformation_precision=tprec,
-        noise_prior=noise_prior,
-        mean_prior=mean_prior,
-    )
-    return new_Cs, new_means, new_sigmas, new_logw, stats.llk
+    return Cs, means, sigmas, logw, llk
 
 
 def _mix_em_pat_jit_adapter(pat, Cs, means, sigmas, log_weights, data, mask,
@@ -87,18 +107,8 @@ def _mix_em_n_jit(Cs, means, sigmas, log_weights, data, mask, weights,
     """n_iters fused mixture EM steps in ONE compiled scan (no per-iteration
     dispatch); llks[i] is the mixture llk BEFORE step i."""
     def step(carry, _):
-        Cs, means, sigmas, log_weights = carry
-        stats = mf.mix_em_stats(
-            Cs, means, sigmas, log_weights, data, mask, weights,
-            block_size=block_size,
-        )
-        out = mf.mix_em_finalize(
-            Cs, means, sigmas, stats,
-            transformation_precision=tprec,
-            noise_prior=noise_prior,
-            mean_prior=mean_prior,
-        )
-        return out, stats.llk
+        return _mix_em_body(*carry, data, mask, weights, tprec,
+                            noise_prior, mean_prior, block_size)
     carry, llks = jax.lax.scan(
         step, (Cs, means, sigmas, log_weights), None, length=n_iters
     )
@@ -110,18 +120,8 @@ def _mix_em_n_pat_jit(Cs, means, sigmas, log_weights, data, mask, pidx, pats,
                       weights, tprec, noise_prior, mean_prior, block_size,
                       n_iters):
     def step(carry, _):
-        Cs, means, sigmas, log_weights = carry
-        stats = mf.mix_em_stats_pat(
-            Cs, means, sigmas, log_weights, data, mask, pidx, pats, weights,
-            block_size=block_size,
-        )
-        out = mf.mix_em_finalize(
-            Cs, means, sigmas, stats,
-            transformation_precision=tprec,
-            noise_prior=noise_prior,
-            mean_prior=mean_prior,
-        )
-        return out, stats.llk
+        return _mix_em_body_pat(*carry, data, mask, pidx, pats, weights,
+                                tprec, noise_prior, mean_prior, block_size)
     carry, llks = jax.lax.scan(
         step, (Cs, means, sigmas, log_weights), None, length=n_iters
     )
@@ -532,19 +532,20 @@ class PPCAMix:
             new_log_weights.append(logsum)
         return PPCAMix(new_models, jnp.stack(new_log_weights)), llk
 
-    def _iterate_fused(self, dataset: Dataset, prior: Prior):
+    def _em_dispatch(self, dataset: Dataset, n_variant: bool):
+        """Pick the fused mixture EM implementation (single-device / pattern /
+        sharded) and the per-device block size; ``n_variant`` selects the
+        n-step scan twin of each path."""
         from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, dataset_mesh
-
-        dtype = self._models[0]._transform.dtype
-        Cs, means, sigmas = self._stacked_params()
 
         mesh = dataset_mesh(dataset)
         if mesh is None:
             pat = self._pattern(dataset)
             if pat is not None:
-                step = functools.partial(_mix_em_pat_jit_adapter, pat)
+                adapter = _mix_em_n_pat_adapter if n_variant else _mix_em_pat_jit_adapter
+                step = functools.partial(adapter, pat)
             else:
-                step = _mix_em_jit
+                step = _mix_em_n_jit if n_variant else _mix_em_jit
             block = block_size_for(
                 max(1, dataset.padded_len // max(1, len(self._models)))
             )
@@ -552,11 +553,17 @@ class PPCAMix:
             from ..parallel.api import fns_for
 
             use_model = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
-            step = fns_for(mesh, use_model)["mix_em_step"]
+            step = fns_for(mesh, use_model)["mix_em_n" if n_variant else "mix_em_step"]
             block = block_size_for(
                 max(1, dataset.padded_len
                     // (mesh.shape[DATA_AXIS] * max(1, len(self._models))))
             )
+        return step, block
+
+    def _iterate_fused(self, dataset: Dataset, prior: Prior):
+        dtype = self._models[0]._transform.dtype
+        Cs, means, sigmas = self._stacked_params()
+        step, block = self._em_dispatch(dataset, n_variant=False)
         tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
         with _precision(self._output_size):
             new_Cs, new_means, new_sigmas, new_logw, llk = step(
@@ -580,8 +587,6 @@ class PPCAMix:
         or host sync).  Returns ``(mix, llks)`` with ``llks[i]`` the llk of
         the mixture *before* iteration ``i``.  TPU-native extra — the
         reference iterates one step at a time."""
-        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, dataset_mesh
-
         if dataset.is_empty():
             raise ValueError("cannot iterate on an empty dataset")
         if n_iters <= 0:
@@ -590,26 +595,7 @@ class PPCAMix:
             prior = Prior()
         dtype = self._models[0]._transform.dtype
         Cs, means, sigmas = self._stacked_params()
-
-        mesh = dataset_mesh(dataset)
-        if mesh is None:
-            pat = self._pattern(dataset)
-            if pat is not None:
-                step_n = functools.partial(_mix_em_n_pat_adapter, pat)
-            else:
-                step_n = _mix_em_n_jit
-            block = block_size_for(
-                max(1, dataset.padded_len // max(1, len(self._models)))
-            )
-        else:
-            from ..parallel.api import fns_for
-
-            use_model = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
-            step_n = fns_for(mesh, use_model)["mix_em_n"]
-            block = block_size_for(
-                max(1, dataset.padded_len
-                    // (mesh.shape[DATA_AXIS] * max(1, len(self._models))))
-            )
+        step_n, block = self._em_dispatch(dataset, n_variant=True)
         tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
         with _precision(self._output_size):
             new_Cs, new_means, new_sigmas, new_logw, llks = step_n(

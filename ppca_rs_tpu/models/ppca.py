@@ -109,38 +109,49 @@ def _infer_jit(C, mean, sigma, data, mask, block_size):
     return ml.infer(C, mean, sigma, data, mask, block_size=block_size)
 
 
-@functools.partial(jax.jit, static_argnames=("block_size",))
-def _em_step_jit(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, block_size):
+def _em_body(C, mean, sigma, data, mask, weights, tprec, noise_prior,
+             mean_prior, block_size):
+    """One fused EM step: ((new_C, new_mean, new_sigma), llk-before).  The
+    single shared body behind both the one-step jit and the n-step scan."""
     stats = ml.em_stats(C, mean, sigma, data, mask, weights, block_size=block_size)
-    new_C, new_mean, new_sigma = ml.em_finalize(
+    out = ml.em_finalize(
         C, mean, sigma, stats,
         transformation_precision=tprec,
         noise_prior=noise_prior,
         mean_prior=mean_prior,
     )
-    return new_C, new_mean, new_sigma, stats.llk
+    return out, stats.llk
+
+
+def _scan_em(body, C, mean, sigma, n_iters):
+    """lax.scan of an ((params), llk) EM body over n_iters steps.  Returns
+    (C, mean, sigma, llks) with llks[i] the llk of the model BEFORE step i."""
+    def step(carry, _):
+        return body(*carry)
+    (C, mean, sigma), llks = jax.lax.scan(
+        step, (C, mean, sigma), None, length=n_iters
+    )
+    return C, mean, sigma, llks
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _em_step_jit(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, block_size):
+    (new_C, new_mean, new_sigma), llk = _em_body(
+        C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior,
+        block_size,
+    )
+    return new_C, new_mean, new_sigma, llk
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "n_iters"))
 def _em_n_jit(C, mean, sigma, data, mask, weights, tprec, noise_prior,
               mean_prior, block_size, n_iters):
-    """``n_iters`` fused EM steps in ONE compiled program (lax.scan over the
-    parameters) — no per-iteration host round-trip or dispatch.  Returns
-    (C, mean, sigma, llks) with llks[i] the llk of the model BEFORE step i."""
-    def step(carry, _):
-        C, mean, sigma = carry
-        stats = ml.em_stats(C, mean, sigma, data, mask, weights, block_size=block_size)
-        out = ml.em_finalize(
-            C, mean, sigma, stats,
-            transformation_precision=tprec,
-            noise_prior=noise_prior,
-            mean_prior=mean_prior,
-        )
-        return out, stats.llk
-    (C, mean, sigma), llks = jax.lax.scan(
-        step, (C, mean, sigma), None, length=n_iters
-    )
-    return C, mean, sigma, llks
+    """``n_iters`` fused EM steps in ONE compiled program — no per-iteration
+    host round-trip or dispatch."""
+    def body(C, mean, sigma):
+        return _em_body(C, mean, sigma, data, mask, weights, tprec,
+                        noise_prior, mean_prior, block_size)
+    return _scan_em(body, C, mean, sigma, n_iters)
 
 
 @functools.partial(jax.jit, static_argnames=("block_size",))
@@ -271,35 +282,33 @@ def _extrapolate_dense_jit(C, mean, sigma, data, mask, block_size):
     return data
 
 
-@functools.partial(jax.jit, static_argnames=("block_size",))
-def _em_step_dense_jit(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, block_size):
+def _em_body_dense(C, mean, sigma, data, weights, tprec, noise_prior,
+                   mean_prior, block_size):
     stats = df.em_stats(C, mean, sigma, data, weights, block_size=block_size)
-    new_C, new_mean, new_sigma = df.em_finalize(
+    out = df.em_finalize(
         C, mean, sigma, stats,
         transformation_precision=tprec,
         noise_prior=noise_prior,
         mean_prior=mean_prior,
     )
-    return new_C, new_mean, new_sigma, stats.llk
+    return out, stats.llk
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _em_step_dense_jit(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, block_size):
+    (new_C, new_mean, new_sigma), llk = _em_body_dense(
+        C, mean, sigma, data, weights, tprec, noise_prior, mean_prior, block_size
+    )
+    return new_C, new_mean, new_sigma, llk
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "n_iters"))
 def _em_n_dense_jit(C, mean, sigma, data, mask, weights, tprec, noise_prior,
                     mean_prior, block_size, n_iters):
-    def step(carry, _):
-        C, mean, sigma = carry
-        stats = df.em_stats(C, mean, sigma, data, weights, block_size=block_size)
-        out = df.em_finalize(
-            C, mean, sigma, stats,
-            transformation_precision=tprec,
-            noise_prior=noise_prior,
-            mean_prior=mean_prior,
-        )
-        return out, stats.llk
-    (C, mean, sigma), llks = jax.lax.scan(
-        step, (C, mean, sigma), None, length=n_iters
-    )
-    return C, mean, sigma, llks
+    def body(C, mean, sigma):
+        return _em_body_dense(C, mean, sigma, data, weights, tprec,
+                              noise_prior, mean_prior, block_size)
+    return _scan_em(body, C, mean, sigma, n_iters)
 
 
 _SINGLE_DENSE = {
@@ -346,40 +355,37 @@ def _extrapolate_pat_jit(C, mean, sigma, data, mask, pidx, pats, block_size):
     return jnp.where(mask, data, smoothed)
 
 
-@functools.partial(jax.jit, static_argnames=("block_size",))
-def _em_step_pat_jit(C, mean, sigma, data, mask, weights, pidx, pats,
-                     tprec, noise_prior, mean_prior, block_size):
+def _em_body_pat(C, mean, sigma, data, mask, weights, pidx, pats,
+                 tprec, noise_prior, mean_prior, block_size):
     stats = pd.em_stats(
         C, mean, sigma, data, mask, pidx, pats, weights, block_size=block_size
     )
-    new_C, new_mean, new_sigma = ml.em_finalize(
+    out = ml.em_finalize(
         C, mean, sigma, stats,
         transformation_precision=tprec,
         noise_prior=noise_prior,
         mean_prior=mean_prior,
     )
-    return new_C, new_mean, new_sigma, stats.llk
+    return out, stats.llk
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _em_step_pat_jit(C, mean, sigma, data, mask, weights, pidx, pats,
+                     tprec, noise_prior, mean_prior, block_size):
+    (new_C, new_mean, new_sigma), llk = _em_body_pat(
+        C, mean, sigma, data, mask, weights, pidx, pats,
+        tprec, noise_prior, mean_prior, block_size,
+    )
+    return new_C, new_mean, new_sigma, llk
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "n_iters"))
 def _em_n_pat_jit(C, mean, sigma, data, mask, weights, pidx, pats,
                   tprec, noise_prior, mean_prior, block_size, n_iters):
-    def step(carry, _):
-        C, mean, sigma = carry
-        stats = pd.em_stats(
-            C, mean, sigma, data, mask, pidx, pats, weights, block_size=block_size
-        )
-        out = ml.em_finalize(
-            C, mean, sigma, stats,
-            transformation_precision=tprec,
-            noise_prior=noise_prior,
-            mean_prior=mean_prior,
-        )
-        return out, stats.llk
-    (C, mean, sigma), llks = jax.lax.scan(
-        step, (C, mean, sigma), None, length=n_iters
-    )
-    return C, mean, sigma, llks
+    def body(C, mean, sigma):
+        return _em_body_pat(C, mean, sigma, data, mask, weights, pidx, pats,
+                            tprec, noise_prior, mean_prior, block_size)
+    return _scan_em(body, C, mean, sigma, n_iters)
 
 
 def _sharded_pattern_fns(fns, pidx, pats):

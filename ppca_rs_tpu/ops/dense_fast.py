@@ -61,13 +61,16 @@ def dense_posterior(C: jax.Array, sigma: jax.Array, axis_model: Optional[str] = 
 
 
 def _centered_products(C, mean, data, axis_model):
-    """b = (Y - mu) C and rowwise |Y - mu|^2, computed without materializing
-    the centered (N, D) array (the subtraction folds into the matmuls)."""
-    b = _psum(data @ C - (mean @ C)[None, :], axis_model)
-    rnorm = _psum(
-        jnp.sum(data * data, axis=-1) - 2.0 * (data @ mean) + jnp.sum(mean * mean),
-        axis_model,
-    )
+    """b = (Y - mu) C and rowwise |Y - mu|^2.
+
+    Written against the centered values directly (XLA fuses the broadcast
+    subtraction into the matmul/reduction loads, so no (N, D) temporary is
+    forced) — NOT via the expanded |Y|^2 - 2 Y.mu + |mu|^2 / YC - muC
+    forms, whose cancellation destroys f32 accuracy whenever |mu| is large
+    relative to the residual spread."""
+    R = data - mean[None, :]
+    b = _psum(R @ C, axis_model)
+    rnorm = _psum(jnp.sum(R * R, axis=-1), axis_model)
     return b, rnorm
 
 
@@ -118,19 +121,22 @@ def em_stats(C, mean, sigma, data, weights, *, block_size: int,
              axis_model: Optional[str] = None) -> DenseEMStats:
     """Fused dense EM statistics, blocked over N for bounded temporaries.
 
-    The scan body never materializes a centered or residual (B, D) array:
-    every statistic is re-expressed against the raw data block plus k-sized
-    corrections, so each block costs TWO (B, D)x(D, k) matmuls (``data @ C``
-    and ``data^T @ sw``) and ~2 elementwise passes over the data — about
-    half the HBM traffic of the naive centered form:
+    The scan body never materializes a RESIDUAL (B, D) array: the residual
+    statistics are re-expressed through the posterior identities, so each
+    block costs TWO (B, D)x(D, k) matmuls (``R @ C`` and ``R^T @ sw``) and
+    one reduction pass — the third matmul (``s @ C^T``) and the dev array
+    of the naive form disappear:
 
-        b         = data C - mean C
-        cross     = R^T sw        = data^T sw - mean (sum sw)
-        |R|^2     = |data|^2 - 2 data.mean + |mean|^2     (row-wise)
         |dev|^2   = |R - s C^T|^2 = |R|^2 - b.s - sigma^2 |s|^2   (row-wise;
                     s^T G s = b.s - sigma^2 |s|^2 exactly, since M s = b and
                     G = M - sigma^2 I)
-        total_dev = w R - (w s) C^T = w data - (sum w) mean - C (sum sw)
+        total_dev = w @ dev = w R - C (sum sw)
+
+    Centering is computed as ``data - mean`` directly (XLA fuses the
+    broadcast subtraction into the consuming matmul/reduction loads) — the
+    expanded uncentered forms (|data|^2 - 2 data.mu + ..., data C - mu C)
+    cancel catastrophically in f32 when |mu| is large relative to the
+    residual spread.
     """
     n, D_loc = data.shape
     k = C.shape[1]
@@ -140,33 +146,28 @@ def em_stats(C, mean, sigma, data, weights, *, block_size: int,
     d_obs = _psum(jnp.asarray(D_loc, dtype), axis_model)
     logdet_obs = post.logdet + 2.0 * jnp.log(sigma) * (d_obs - k)
     G = post.M - sigma2 * jnp.eye(k, dtype=dtype)     # = C^T C (model-full)
-    # Loop-invariant centering corrections (model-axis partials psum'd once).
-    mC = mean @ C                                     # (k,) D_loc-partial
-    mm = jnp.sum(mean * mean)                         # scalar D_loc-partial
     _, (data3, w2) = _pad_blocks(n, block_size, data, weights)
 
     def body(acc, xs):
         datab, w = xs
         datab = datab.astype(dtype)
         w = w.astype(dtype)
-        b = _psum(datab @ C - mC[None, :], axis_model)          # (B, k)
+        R = datab - mean[None, :]
+        b = _psum(R @ C, axis_model)                            # (B, k)
         s = b @ post.Minv
         sw = s * w[:, None]
         sw_sum = jnp.sum(sw, axis=0)                            # (k,)
         w_sum = jnp.sum(w)
-        cross = datab.T @ sw - mean[:, None] * sw_sum[None, :]  # (D_loc, k)
+        cross = R.T @ sw                                        # (D_loc, k)
         S_part = s.T @ sw                                       # (k, k)
-        rnorm = _psum(
-            jnp.sum(datab * datab, axis=-1) - 2.0 * (datab @ mean) + mm,
-            axis_model,
-        )
+        rnorm = _psum(jnp.sum(R * R, axis=-1), axis_model)
         bs = jnp.sum(b * s, axis=-1)
         # clamp: the cancellation can dip epsilon-negative in f32 when the
         # model explains the data almost exactly (|dev|^2 ~ 0); a negative
         # sum would NaN the sigma update via sqrt.
         dev_sq = jnp.sum(w * jnp.maximum(
             rnorm - bs - sigma2 * jnp.sum(s * s, axis=-1), 0.0))
-        total_dev = w @ datab - w_sum * mean - C @ sw_sum       # (D_loc,)
+        total_dev = w @ R - C @ sw_sum                          # (D_loc,)
         quad = (rnorm - bs) / sigma2
         llk_b = -0.5 * (quad + logdet_obs + LN_2PI * d_obs)
         llk = jnp.sum(w * llk_b)

@@ -199,7 +199,9 @@ def _block_post_pat(Cs, means, sigmas, tables, datab, mask_f, pidx,
                     center=None):
     """Table-driven per-component posteriors for one block: no per-sample
     factorization at all — gather Sigma_{m, p(b)} and one batched mat-vec.
-    Returns (R, llks, s, Sig_b, sq_b) with Sig_b the gathered (M, B, k^2).
+    Returns (R, llks, s, Sig_b, sq_b, b, rnorm) with Sig_b the gathered
+    (M, B, k^2) and b/rnorm the (M, B, k)/(M, B) projection pieces (so EM
+    consumers need not recompute them for the residual identities).
 
     With ``center`` (from :func:`_center_prep`; the readout verbs) the
     (M, B, D) centered-data temporary is avoided: projections become shared
@@ -228,7 +230,7 @@ def _block_post_pat(Cs, means, sigmas, tables, datab, mask_f, pidx,
     s = jnp.einsum("mbij,mbj->mbi", Sig_b.reshape(M, B, k, k), b) / sigma2[..., None]
     quad = (rnorm - jnp.sum(b * s, axis=-1)) / sigma2
     llks = jnp.take(pat_llk, pidx, axis=1) - 0.5 * quad                   # (M,B)
-    return R, llks, s, Sig_b, jnp.take(sq_tab, pidx, axis=1)
+    return R, llks, s, Sig_b, jnp.take(sq_tab, pidx, axis=1), b, rnorm
 
 
 # Kernel variant for the fused-EM second moment ("fullt" = lower-wedge SM,
@@ -479,7 +481,7 @@ def mix_llks(Cs, means, sigmas, data, mask, *, block_size: int,
 
         def body_pat(_, xs):
             datab, maskb, pb = xs
-            _, llks, _, _, _ = _block_post_pat(
+            _, llks, _, _, _, _, _ = _block_post_pat(
                 Cs, means, sigmas, tables, datab.astype(dtype),
                 maskb.astype(dtype), pb, center=center,
             )
@@ -528,7 +530,7 @@ def mix_infer(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
 
         def body_pat(_, xs):
             datab, maskb, pb = xs
-            _, llks, s, Sig_b, _ = _block_post_pat(
+            _, llks, s, Sig_b, _, _, _ = _block_post_pat(
                 Cs, means, sigmas, tables, datab.astype(dtype),
                 maskb.astype(dtype), pb, center=center,
             )
@@ -587,7 +589,7 @@ def mix_smooth(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
         datab = datab.astype(dtype)
         mask_f = maskb.astype(dtype)
         if pidx is not None:
-            _, llks, s, _, _ = _block_post_pat(
+            _, llks, s, _, _, _, _ = _block_post_pat(
                 Cs, means, sigmas, tables, datab, mask_f, pb, center=center
             )
         elif use_kernel:
@@ -697,7 +699,7 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
         B = datab.shape[0]
         # center => no (M, B, D) R; b/rnorm come from shared matmuls against
         # mask*(data - mean0) and mask (see _block_post_pat).
-        _, llks, s, _, sq_b = _block_post_pat(
+        _, llks, s, _, sq_b, b, rnorm = _block_post_pat(
             Cs, means, sigmas, tables, datab, mask_f, pb, center
         )
         md0 = mask_f * (datab - mean0[None, :])             # (B,D) shared
@@ -725,17 +727,9 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
 
         # Residual statistics without the (M, B, D) dev array: s = M^{-1} b
         # exactly (s = Sigma b / sigma^2), so s^T G s = b.s - sigma^2 |s|^2
-        # and |dev|^2 = rnorm - b.s - sigma^2 |s|^2 per sample.  rnorm/b are
-        # recomputed k-cheap from the center expansion pieces already used
-        # inside _block_post_pat (b) — only bs/|s|^2 are needed here.
-        hp = jax.lax.Precision.HIGHEST
+        # and |dev|^2 = rnorm - b.s - sigma^2 |s|^2 per sample; b/rnorm come
+        # straight from _block_post_pat.
         sigma2 = (sigmas * sigmas)[:, None]
-        rd2 = jnp.sum(md0 * md0, axis=-1)
-        mdm = jnp.matmul(md0, dm.T, precision=hp)
-        m2 = jnp.matmul(mask_f, (dm * dm).T, precision=hp)
-        rnorm = (rd2[:, None] - 2.0 * mdm + m2).T           # (M,B)
-        b = (jnp.einsum("bd,mdk->mbk", md0, Cs)
-             - jnp.einsum("bd,mdk->mbk", mask_f, center[2]))
         bs = jnp.sum(b * s, axis=-1)
         s2 = jnp.sum(s * s, axis=-1)
         # clamp: epsilon-negative in f32 iff |dev|^2 ~ 0 (see dense_fast)

@@ -119,38 +119,45 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
             inner, (cspec, mspec, rep, rows, rows), rows
         )(C, mean, sigma, data, mask)
 
+    def _em_body(C, mean, sigma, data, mask, weights, tprec, noise_prior,
+                 mean_prior, block_size):
+        """One sharded EM step (inside shard_map): data-axis psum of all
+        statistics, model-axis reductions of the few cross-D scalars inside
+        em_finalize.  The single shared body behind em_step and em_n."""
+        if dense:
+            st = df.em_stats(
+                C, mean, sigma, data, weights,
+                block_size=block_size, axis_model=axis_model,
+            )
+            st = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), st)
+            out = df.em_finalize(
+                C, mean, sigma, st,
+                transformation_precision=tprec,
+                noise_prior=noise_prior, mean_prior=mean_prior,
+                axis_model=axis_model,
+            )
+            return out, st.llk
+        st = ml.em_stats(
+            C, mean, sigma, data, mask, weights,
+            block_size=block_size, axis_model=axis_model,
+        )
+        st = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), st)
+        out = ml.em_finalize(
+            C, mean, sigma, st,
+            transformation_precision=tprec,
+            noise_prior=noise_prior, mean_prior=mean_prior,
+            axis_model=axis_model,
+        )
+        return out, st.llk
+
     @functools.partial(jax.jit, static_argnames=("block_size",))
     def em_step(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, block_size):
         def inner(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior):
-            if dense:
-                dstats = df.em_stats(
-                    C, mean, sigma, data, weights,
-                    block_size=block_size, axis_model=axis_model,
-                )
-                dstats = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), dstats)
-                new_C, new_mean, new_sigma = df.em_finalize(
-                    C, mean, sigma, dstats,
-                    transformation_precision=tprec,
-                    noise_prior=noise_prior,
-                    mean_prior=mean_prior,
-                    axis_model=axis_model,
-                )
-                return new_C, new_mean, new_sigma, dstats.llk
-            stats = ml.em_stats(
-                C, mean, sigma, data, mask, weights,
-                block_size=block_size, axis_model=axis_model,
+            (new_C, new_mean, new_sigma), llk = _em_body(
+                C, mean, sigma, data, mask, weights, tprec, noise_prior,
+                mean_prior, block_size,
             )
-            # Data-axis reduction of all statistics; model-axis reductions of
-            # the few cross-D scalars happen inside em_finalize.
-            stats = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), stats)
-            new_C, new_mean, new_sigma = ml.em_finalize(
-                C, mean, sigma, stats,
-                transformation_precision=tprec,
-                noise_prior=noise_prior,
-                mean_prior=mean_prior,
-                axis_model=axis_model,
-            )
-            return new_C, new_mean, new_sigma, stats.llk
+            return new_C, new_mean, new_sigma, llk
         return smap(
             inner,
             (cspec, mspec, rep, rows, rows, wspec, rep, rep, rep),
@@ -215,18 +222,11 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
                     tprec, noise_prior, mean_prior, block_size):
         def inner(C, mean, sigma, data, mask, weights, pidx, pats,
                   tprec, noise_prior, mean_prior):
-            stats = pd.em_stats(
-                C, mean, sigma, data, mask, pidx, pats, weights,
-                block_size=block_size,
+            (new_C, new_mean, new_sigma), llk = _em_body_pat(
+                C, mean, sigma, data, mask, weights, pidx, pats,
+                tprec, noise_prior, mean_prior, block_size,
             )
-            stats = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), stats)
-            new_C, new_mean, new_sigma = ml.em_finalize(
-                C, mean, sigma, stats,
-                transformation_precision=tprec,
-                noise_prior=noise_prior,
-                mean_prior=mean_prior,
-            )
-            return new_C, new_mean, new_sigma, stats.llk
+            return new_C, new_mean, new_sigma, llk
         return smap(
             inner,
             (cspec, mspec, rep, rows, rows, wspec, pspec, rep, rep, rep, rep),
@@ -242,32 +242,8 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         def inner(C, mean, sigma, data, mask, weights, tprec, noise_prior,
                   mean_prior):
             def step(carry, _):
-                C, mean, sigma = carry
-                if dense:
-                    st = df.em_stats(
-                        C, mean, sigma, data, weights,
-                        block_size=block_size, axis_model=axis_model,
-                    )
-                    st = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), st)
-                    out = df.em_finalize(
-                        C, mean, sigma, st,
-                        transformation_precision=tprec,
-                        noise_prior=noise_prior, mean_prior=mean_prior,
-                        axis_model=axis_model,
-                    )
-                    return out, st.llk
-                st = ml.em_stats(
-                    C, mean, sigma, data, mask, weights,
-                    block_size=block_size, axis_model=axis_model,
-                )
-                st = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), st)
-                out = ml.em_finalize(
-                    C, mean, sigma, st,
-                    transformation_precision=tprec,
-                    noise_prior=noise_prior, mean_prior=mean_prior,
-                    axis_model=axis_model,
-                )
-                return out, st.llk
+                return _em_body(*carry, data, mask, weights, tprec,
+                                noise_prior, mean_prior, block_size)
             (C, mean, sigma), llks = lax.scan(
                 step, (C, mean, sigma), None, length=n_iters
             )
@@ -278,24 +254,28 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
             (cspec, mspec, rep, rep),
         )(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior)
 
+    def _em_body_pat(C, mean, sigma, data, mask, weights, pidx, pats,
+                     tprec, noise_prior, mean_prior, block_size):
+        st = pd.em_stats(
+            C, mean, sigma, data, mask, pidx, pats, weights,
+            block_size=block_size,
+        )
+        st = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), st)
+        out = ml.em_finalize(
+            C, mean, sigma, st,
+            transformation_precision=tprec,
+            noise_prior=noise_prior, mean_prior=mean_prior,
+        )
+        return out, st.llk
+
     @functools.partial(jax.jit, static_argnames=("block_size", "n_iters"))
     def em_n_pat(C, mean, sigma, data, mask, weights, pidx, pats,
                  tprec, noise_prior, mean_prior, block_size, n_iters):
         def inner(C, mean, sigma, data, mask, weights, pidx, pats,
                   tprec, noise_prior, mean_prior):
             def step(carry, _):
-                C, mean, sigma = carry
-                st = pd.em_stats(
-                    C, mean, sigma, data, mask, pidx, pats, weights,
-                    block_size=block_size,
-                )
-                st = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), st)
-                out = ml.em_finalize(
-                    C, mean, sigma, st,
-                    transformation_precision=tprec,
-                    noise_prior=noise_prior, mean_prior=mean_prior,
-                )
-                return out, st.llk
+                return _em_body_pat(*carry, data, mask, weights, pidx, pats,
+                                    tprec, noise_prior, mean_prior, block_size)
             (C, mean, sigma), llks = lax.scan(
                 step, (C, mean, sigma), None, length=n_iters
             )
@@ -325,35 +305,43 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
             P(DATA_AXIS),
         )(Cs, means, sigmas, data, mask)
 
-    @functools.partial(jax.jit, static_argnames=("block_size",))
-    def mix_em_step(Cs, means, sigmas, log_weights, data, mask, weights,
-                    tprec, noise_prior, mean_prior, block_size):
-        """Sharded fused mixture EM (ops/mix_fused.py): per-component stats
-        psum over the data axis (max for the weight-normalization term),
+    def _mix_em_body(Cs, means, sigmas, log_weights, data, mask, weights,
+                     tprec, noise_prior, mean_prior, block_size):
+        """One sharded fused mixture EM step (inside shard_map): stats psum
+        over the data axis (pmax for the weight-normalization term),
         finalization model-sharded like the single-model path."""
         from ..ops import mix_fused as mfd
 
+        stats = mfd.mix_em_stats(
+            Cs, means, sigmas, log_weights, data, mask, weights,
+            block_size=block_size, axis_model=axis_model,
+        )
+        stats = mfd.MixEMStats(
+            *(
+                lax.pmax(x, DATA_AXIS) if name == "resp_max"
+                else lax.psum(x, DATA_AXIS)
+                for name, x in zip(stats._fields, stats)
+            )
+        )
+        out = mfd.mix_em_finalize(
+            Cs, means, sigmas, stats,
+            transformation_precision=tprec,
+            noise_prior=noise_prior,
+            mean_prior=mean_prior,
+            axis_model=axis_model,
+        )
+        return out, stats.llk
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
+    def mix_em_step(Cs, means, sigmas, log_weights, data, mask, weights,
+                    tprec, noise_prior, mean_prior, block_size):
         def inner(Cs, means, sigmas, log_weights, data, mask, weights,
                   tprec, noise_prior, mean_prior):
-            stats = mfd.mix_em_stats(
+            (new_Cs, new_means, new_sigmas, new_logw), llk = _mix_em_body(
                 Cs, means, sigmas, log_weights, data, mask, weights,
-                block_size=block_size, axis_model=axis_model,
+                tprec, noise_prior, mean_prior, block_size,
             )
-            stats = mfd.MixEMStats(
-                *(
-                    lax.pmax(x, DATA_AXIS) if name == "resp_max"
-                    else lax.psum(x, DATA_AXIS)
-                    for name, x in zip(stats._fields, stats)
-                )
-            )
-            new_Cs, new_means, new_sigmas, new_logw = mfd.mix_em_finalize(
-                Cs, means, sigmas, stats,
-                transformation_precision=tprec,
-                noise_prior=noise_prior,
-                mean_prior=mean_prior,
-                axis_model=axis_model,
-            )
-            return new_Cs, new_means, new_sigmas, new_logw, stats.llk
+            return new_Cs, new_means, new_sigmas, new_logw, llk
 
         return smap(
             inner,
@@ -366,31 +354,11 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
     @functools.partial(jax.jit, static_argnames=("block_size", "n_iters"))
     def mix_em_n(Cs, means, sigmas, log_weights, data, mask, weights,
                  tprec, noise_prior, mean_prior, block_size, n_iters):
-        from ..ops import mix_fused as mfd
-
         def inner(Cs, means, sigmas, log_weights, data, mask, weights,
                   tprec, noise_prior, mean_prior):
             def step(carry, _):
-                Cs, means, sigmas, log_weights = carry
-                stats = mfd.mix_em_stats(
-                    Cs, means, sigmas, log_weights, data, mask, weights,
-                    block_size=block_size, axis_model=axis_model,
-                )
-                stats = mfd.MixEMStats(
-                    *(
-                        lax.pmax(x, DATA_AXIS) if name == "resp_max"
-                        else lax.psum(x, DATA_AXIS)
-                        for name, x in zip(stats._fields, stats)
-                    )
-                )
-                out = mfd.mix_em_finalize(
-                    Cs, means, sigmas, stats,
-                    transformation_precision=tprec,
-                    noise_prior=noise_prior,
-                    mean_prior=mean_prior,
-                    axis_model=axis_model,
-                )
-                return out, stats.llk
+                return _mix_em_body(*carry, data, mask, weights, tprec,
+                                    noise_prior, mean_prior, block_size)
             carry, llks = lax.scan(
                 step, (Cs, means, sigmas, log_weights), None, length=n_iters
             )
