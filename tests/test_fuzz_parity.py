@@ -73,3 +73,90 @@ def test_fuzz_em_llk_posterior(seed):
     np.testing.assert_allclose(new_model.transform, want_C, rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(new_model.mean, want_mean, rtol=1e-6, atol=1e-8)
     assert np.isclose(new_model.isotropic_noise, want_sigma, rtol=1e-7)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_pattern_path_parity(seed):
+    """Structured missingness (P patterns << N) routes through the
+    pattern-table fast path — same llks/posteriors/EM as the brute-force
+    reference formulas."""
+    rng = np.random.default_rng(2000 + seed)
+    n = int(rng.integers(120, 300))
+    d = int(rng.integers(4, 14))
+    k = int(rng.integers(1, min(d, 5) + 1))
+    P = int(rng.integers(1, 5))
+
+    pats = rng.random((P, d)) < rng.uniform(0.0, 0.6)
+    pats[:, int(rng.integers(0, d))] = False        # one dim missing in some
+    pidx = rng.integers(0, P, size=n)
+    mask = ~pats[pidx]                               # pattern True = missing
+    C = rng.normal(size=(d, k))
+    mean = rng.normal(size=d) * 3.0
+    sigma = float(rng.uniform(0.1, 1.5))
+    data = np.where(mask, rng.normal(size=(n, d)) + mean, np.nan)
+    weights = rng.random(n) + 0.1
+
+    ds = Dataset(data, weights=weights)
+    assert ds.pattern_info() is not None             # the fast path is live
+
+    model = PPCAModel(isotropic_noise=sigma, transform=C, mean=mean)
+    got = model.llks(ds)
+    want = np.array([
+        ref.llk_one(C, mean, sigma, np.nan_to_num(data[i]), mask[i]) for i in range(n)
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+    inf = model.infer(ds)
+    for i in range(0, n, max(1, n // 7)):
+        s, cov = ref.infer_one(C, mean, sigma, np.nan_to_num(data[i]), mask[i])
+        np.testing.assert_allclose(inf.states()[i], s, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(inf.covariances_array()[i], cov, rtol=1e-7, atol=1e-9)
+
+    new_model = model.iterate(ds)
+    want_C, want_mean, want_sigma = ref.em_iterate(
+        C, mean, sigma, np.nan_to_num(data), mask, weights,
+    )
+    np.testing.assert_allclose(new_model.transform, want_C, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(new_model.mean, want_mean, rtol=1e-6, atol=1e-8)
+    assert np.isclose(new_model.isotropic_noise, want_sigma, rtol=1e-7)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_dense_path_parity(seed):
+    """Fully observed data routes through the dense fast path — same
+    llks/EM as the reference formulas with an all-True mask, including
+    LARGE mean offsets (regression class: centered-form cancellation)."""
+    rng = np.random.default_rng(3000 + seed)
+    n = int(rng.integers(50, 200))
+    d = int(rng.integers(2, 14))
+    k = int(rng.integers(1, min(d, 5) + 1))
+    offset = rng.normal(size=d) * float(rng.choice([1.0, 50.0, 500.0]))
+
+    C = rng.normal(size=(d, k))
+    mean = offset + rng.normal(size=d)
+    sigma = float(rng.uniform(0.1, 1.5))
+    data = rng.normal(size=(n, d)) + offset
+    weights = rng.random(n) + 0.1
+    mask = np.ones((n, d), bool)
+
+    ds = Dataset(data, weights=weights)
+    assert ds.all_observed()                         # the dense path is live
+
+    model = PPCAModel(isotropic_noise=sigma, transform=C, mean=mean)
+    got = model.llks(ds)
+    want = np.array([
+        ref.llk_one(C, mean, sigma, data[i], mask[i]) for i in range(n)
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+    # n chained iterations through iterate_n == n reference EM steps
+    n_steps = 3
+    fast, _ = model.iterate_n(ds, n_steps)
+    want_C, want_mean, want_sigma = np.asarray(C), np.asarray(mean), sigma
+    for _ in range(n_steps):
+        want_C, want_mean, want_sigma = ref.em_iterate(
+            want_C, want_mean, want_sigma, data, mask, weights,
+        )
+    np.testing.assert_allclose(fast.transform, want_C, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(fast.mean, want_mean, rtol=1e-6, atol=1e-7)
+    assert np.isclose(fast.isotropic_noise, want_sigma, rtol=1e-7)

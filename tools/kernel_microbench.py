@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--want", default="full",
                     choices=["llk", "states", "full", "infer", "fullt"])
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--tile", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -49,7 +50,7 @@ def main():
             def step(carry, i):
                 G_i = G3 + (1e-6 * i.astype(jnp.float32))  # defeat CSE
                 out = kernels.spd_estep(sigma, G_i, b_t, rnorm, dob,
-                                        want=args.want)
+                                        want=args.want, tile=args.tile)
                 # fold every output into a scalar so nothing is dead
                 tot = sum(jnp.sum(o) * 1e-30 for o in out)
                 return carry + tot, None
@@ -74,7 +75,7 @@ def main():
 
     t1, t2 = best(run1), best(run2)
     per_call = (t2 - t1) / r
-    print(f"k={k} B={B} want={args.want}: chained {r}x={t1*1e3:.1f}ms "
+    print(f"k={k} B={B} want={args.want} tile={args.tile or 128}: chained {r}x={t1*1e3:.1f}ms "
           f"{2*r}x={t2*1e3:.1f}ms -> {per_call*1e3:.3f} ms/call "
           f"({B/per_call/1e6:.2f}M samples/s kernel-only)")
 
