@@ -151,6 +151,29 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         return out, st.llk
 
     @functools.partial(jax.jit, static_argnames=("block_size",))
+    def em_stats_only(C, mean, sigma, data, mask, weights, block_size):
+        """Data-axis-reduced EM sufficient statistics of one sharded chunk,
+        replicated on every device — the sharded twin of masked_linalg /
+        dense_fast em_stats for the streaming accumulator (stats are
+        additive over chunks).  Data-parallel meshes only (the model axis
+        would leave D-indexed fields device-local)."""
+        def inner(C, mean, sigma, data, mask, weights):
+            if dense:
+                st = df.em_stats(
+                    C, mean, sigma, data, weights,
+                    block_size=block_size, axis_model=axis_model,
+                )
+            else:
+                st = ml.em_stats(
+                    C, mean, sigma, data, mask, weights,
+                    block_size=block_size, axis_model=axis_model,
+                )
+            return jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), st)
+        return smap(
+            inner, (cspec, mspec, rep, rows, rows, wspec), rep
+        )(C, mean, sigma, data, mask, weights)
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
     def em_step(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, block_size):
         def inner(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior):
             (new_C, new_mean, new_sigma), llk = _em_body(
@@ -379,6 +402,7 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         "smooth": smooth,
         "extrapolate": extrapolate,
         "em_step": em_step,
+        "em_stats": em_stats_only,
         "em_n": em_n,
         "llks_pat": llks_pat,
         "llk_pat": llk_pat,

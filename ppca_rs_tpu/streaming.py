@@ -15,9 +15,11 @@ identical to a single-shot ``iterate`` over the concatenated data.
 Each chunk may be a :class:`Dataset` or a zero-argument callable returning
 one (for lazy loading from disk / object storage).
 
-Limitation: chunks run through the single-device statistics pass — streaming
-does not compose with mesh-sharded chunks (shard a resident Dataset with
-parallel.shard_dataset instead when it fits; stream when it doesn't).
+Chunks may also be DATA-axis mesh-sharded (parallel.shard_dataset): each
+sharded chunk runs the shard_map statistics pass with a data-axis psum, so a
+multi-chip fleet streams a dataset larger than its combined device memory.
+Model-axis-sharded chunks are rejected (their D-indexed statistics are
+device-local, which the host-side accumulator cannot see).
 """
 
 from __future__ import annotations
@@ -63,6 +65,32 @@ def _resolve(chunk: ChunkLike) -> Dataset:
     return chunk() if callable(chunk) else chunk
 
 
+def _chunk_stats(model: PPCAModel, ds: Dataset):
+    """EM statistics of one chunk: the single-device pass, or the sharded
+    (data-axis psum) pass when the chunk's arrays live on a mesh."""
+    from .parallel.mesh import DATA_AXIS, MODEL_AXIS, dataset_mesh
+
+    mesh = dataset_mesh(ds)
+    if mesh is None:
+        return _stats_jit(
+            model._transform, model._mean, model._isotropic_noise,
+            ds.data, ds.mask, ds.weights_dev,
+            block_size_for(ds.padded_len),
+        )
+    if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
+        raise ValueError(
+            "streaming chunks may be data-axis sharded only (model-axis "
+            "sharding keeps D-indexed statistics device-local)"
+        )
+    from .parallel.api import fns_for
+
+    return fns_for(mesh, False)["em_stats"](
+        model._transform, model._mean, model._isotropic_noise,
+        ds.data, ds.mask, ds.weights_dev,
+        block_size_for(max(1, ds.padded_len // mesh.shape[DATA_AXIS])),
+    )
+
+
 def iterate_streamed(
     model: PPCAModel,
     chunks: Sequence[ChunkLike],
@@ -85,11 +113,7 @@ def iterate_streamed(
         for chunk in chunks:
             ds = _resolve(chunk)
             n_samples += len(ds)
-            stats = _stats_jit(
-                model._transform, model._mean, model._isotropic_noise,
-                ds.data, ds.mask, ds.weights_dev,
-                block_size_for(ds.padded_len),
-            )
+            stats = _chunk_stats(model, ds)
             del ds
             total = stats if total is None else _stats_add(total, stats)
             if callable(chunk):

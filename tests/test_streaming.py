@@ -69,3 +69,37 @@ def test_lazy_chunk_callables(rng):
     assert calls == [0, 1]
     assert np.isclose(llk1, llk2, rtol=1e-10)
     np.testing.assert_allclose(m1.transform, m2.transform, rtol=1e-8)
+
+
+def test_sharded_chunks_match_single_shot(rng):
+    """DATA-axis-sharded chunks stream through the shard_map statistics pass
+    and produce the same iteration as single-shot on the concatenated data;
+    model-axis-sharded chunks are rejected."""
+    import pytest
+    from ppca_rs_tpu.parallel.mesh import make_mesh, shard_dataset
+
+    data = make_data(rng, n=96)
+    full = Dataset(data)
+    mesh = make_mesh(data=4, model=1)
+    chunks = [
+        shard_dataset(full.slice(0, 32), mesh),
+        shard_dataset(full.slice(32, 96), mesh),
+    ]
+    model = PPCAModel(
+        isotropic_noise=0.7, transform=rng.normal(size=(6, 2)), mean=np.zeros(6)
+    )
+    m1, llk1 = iterate_streamed(model, chunks)
+    m2, llk2 = model._iterate_with_llk(full, None)
+    assert np.isclose(llk1, llk2, rtol=1e-10)
+    np.testing.assert_allclose(m1.transform, m2.transform, rtol=1e-8)
+    np.testing.assert_allclose(m1.mean, m2.mean, rtol=1e-8)
+
+    # mixed resident + sharded chunks accumulate consistently too
+    m3, llk3 = iterate_streamed(model, [full.slice(0, 32), chunks[1]])
+    assert np.isclose(llk3, llk2, rtol=1e-10)
+    np.testing.assert_allclose(m3.transform, m2.transform, rtol=1e-8)
+
+    mesh2 = make_mesh(data=2, model=2)
+    bad = shard_dataset(full.slice(0, 32), mesh2)
+    with pytest.raises(ValueError, match="data-axis"):
+        iterate_streamed(model, [bad])
