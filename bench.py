@@ -68,7 +68,7 @@ def main():
     ap.add_argument("--n-per-chip", type=int, default=1_000_000)
     ap.add_argument("--d", type=int, default=1024)
     ap.add_argument("--k", type=int, default=64)
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--missing", type=float, default=0.5)
     ap.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32",
                     help="value-storage dtype (bfloat16 halves HBM per sample "
