@@ -14,7 +14,8 @@ from .prior import Prior
 from .models.ppca import InferredMasked, PosteriorSampler, PPCAModel
 from .models.mix import InferredMaskedMix, PosteriorSamplerMix, PPCAMix
 from .trainer import PPCAMixTrainer, PPCATrainer, TrainMetrics
-from .streaming import StreamingPPCATrainer, iterate_streamed
+from .streaming import (StreamingPPCAMixTrainer, StreamingPPCATrainer,
+                        iterate_mix_streamed, iterate_streamed)
 from .adapters import DataFrameAdapter, DataFrameAdapterDescription
 from .utils.rng import seed
 
@@ -32,7 +33,9 @@ __all__ = [
     "PosteriorSamplerMix",
     "PPCATrainer",
     "PPCAMixTrainer",
+    "StreamingPPCAMixTrainer",
     "StreamingPPCATrainer",
+    "iterate_mix_streamed",
     "iterate_streamed",
     "TrainMetrics",
     "DataFrameAdapter",

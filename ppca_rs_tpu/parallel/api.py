@@ -356,6 +356,32 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         return out, stats.llk
 
     @functools.partial(jax.jit, static_argnames=("block_size",))
+    def mix_em_stats_only(Cs, means, sigmas, log_weights, data, mask, weights,
+                          block_size):
+        """Data-axis-combined fused mixture EM statistics of one sharded
+        chunk, replicated on every device (psum; pmax for resp_max) — the
+        streaming accumulator's sharded source.  Data-parallel meshes only."""
+        from ..ops import mix_fused as mfd
+
+        def inner(Cs, means, sigmas, log_weights, data, mask, weights):
+            stats = mfd.mix_em_stats(
+                Cs, means, sigmas, log_weights, data, mask, weights,
+                block_size=block_size, axis_model=axis_model,
+            )
+            return mfd.MixEMStats(
+                *(
+                    lax.pmax(x, DATA_AXIS) if name == "resp_max"
+                    else lax.psum(x, DATA_AXIS)
+                    for name, x in zip(stats._fields, stats)
+                )
+            )
+        return smap(
+            inner,
+            (P(None, col, None), P(None, col), rep, rep, rows, rows, wspec),
+            rep,
+        )(Cs, means, sigmas, log_weights, data, mask, weights)
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
     def mix_em_step(Cs, means, sigmas, log_weights, data, mask, weights,
                     tprec, noise_prior, mean_prior, block_size):
         def inner(Cs, means, sigmas, log_weights, data, mask, weights,
@@ -412,5 +438,6 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         "em_n_pat": em_n_pat,
         "mix_llks": mix_llks,
         "mix_em_step": mix_em_step,
+        "mix_em_stats": mix_em_stats_only,
         "mix_em_n": mix_em_n,
     }

@@ -173,3 +173,170 @@ class StreamingPPCATrainer:
             model = new_model
 
         return model.to_canonical()
+
+
+# ===================================================================== #
+# Mixture streaming: MixEMStats are additive over chunks too (the weight-
+# normalization term resp_max combines by max — exactly how the sharded
+# path combines it across devices), so out-of-core mixture EM is the same
+# accumulate-then-finalize shape as the single-model path.
+
+def _mix_chunk_stats(mix, Cs, means, sigmas, ds: Dataset):
+    from .parallel.mesh import DATA_AXIS, MODEL_AXIS, dataset_mesh
+
+    mesh = dataset_mesh(ds)
+    if mesh is None:
+        block = block_size_for(max(1, ds.padded_len // max(1, len(mix._models))))
+        pat = mix._pattern(ds)
+        if pat is not None:
+            return _mix_stats_pat_jit(
+                Cs, means, sigmas, mix._log_weights,
+                ds.data, ds.mask, pat[0], pat[1], ds.weights_dev, block,
+            )
+        return _mix_stats_jit(
+            Cs, means, sigmas, mix._log_weights,
+            ds.data, ds.mask, ds.weights_dev, block,
+        )
+    if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
+        raise ValueError(
+            "streaming chunks may be data-axis sharded only (model-axis "
+            "sharding keeps D-indexed statistics device-local)"
+        )
+    from .parallel.api import fns_for
+
+    block = block_size_for(
+        max(1, ds.padded_len // (mesh.shape[DATA_AXIS] * max(1, len(mix._models))))
+    )
+    return fns_for(mesh, False)["mix_em_stats"](
+        Cs, means, sigmas, mix._log_weights,
+        ds.data, ds.mask, ds.weights_dev, block,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _mix_stats_jit(Cs, means, sigmas, log_weights, data, mask, weights, block_size):
+    from .ops import mix_fused as mf
+
+    return mf.mix_em_stats(Cs, means, sigmas, log_weights, data, mask,
+                           weights, block_size=block_size)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _mix_stats_pat_jit(Cs, means, sigmas, log_weights, data, mask, pidx, pats,
+                       weights, block_size):
+    from .ops import mix_fused as mf
+
+    return mf.mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask,
+                               pidx, pats, weights, block_size=block_size)
+
+
+@jax.jit
+def _mix_stats_add(a, b):
+    from .ops.mix_fused import MixEMStats
+
+    return MixEMStats(*(
+        jnp.maximum(x, y) if name == "resp_max" else jnp.add(x, y)
+        for name, x, y in zip(a._fields, a, b)
+    ))
+
+
+def iterate_mix_streamed(mix, chunks: Sequence[ChunkLike],
+                         prior: Optional[Prior] = None,
+                         _n_out: Optional[list] = None):
+    """One fused mixture EM iteration over a stream of chunks — identical to
+    ``mix._iterate_with_llk`` on the concatenated dataset.  Chunks may be
+    resident, lazy callables, or data-axis mesh-sharded, mixed freely."""
+    from .models.mix import PPCAMix, _precision
+    from .ops import mix_fused as mf
+
+    if not len(chunks):
+        raise ValueError("need at least one chunk")
+    dtype = mix._models[0]._transform.dtype
+    prior = prior if prior is not None else Prior()
+    tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
+    Cs, means, sigmas = mix._stacked_params()
+
+    n_samples = 0
+    total = None
+    with _precision(mix.output_size):
+        for chunk in chunks:
+            ds = _resolve(chunk)
+            n_samples += len(ds)
+            stats = _mix_chunk_stats(mix, Cs, means, sigmas, ds)
+            del ds
+            total = stats if total is None else _mix_stats_add(total, stats)
+            if callable(chunk):
+                jax.block_until_ready(total.llk)
+        new_Cs, new_means, new_sigmas, new_logw = _mix_finalize_jit(
+            Cs, means, sigmas, total, tprec, noise_prior, mean_prior,
+        )
+    if _n_out is not None:
+        _n_out.append(n_samples)
+    new_models = [
+        PPCAModel._from_params(
+            new_Cs[i][:, : m.state_size], new_means[i], new_sigmas[i]
+        )
+        for i, m in enumerate(mix._models)
+    ]
+    return PPCAMix(new_models, new_logw), float(total.llk)
+
+
+@jax.jit
+def _mix_finalize_jit(Cs, means, sigmas, stats, tprec, noise_prior, mean_prior):
+    from .ops import mix_fused as mf
+
+    return mf.mix_em_finalize(
+        Cs, means, sigmas, stats,
+        transformation_precision=tprec,
+        noise_prior=noise_prior,
+        mean_prior=mean_prior,
+    )
+
+
+class StreamingPPCAMixTrainer:
+    """Train a PPCA mixture over chunks that never need to coexist in device
+    memory.  API mirrors :class:`ppca_rs_tpu.PPCAMixTrainer`."""
+
+    def __init__(self, chunks: Sequence[ChunkLike]):
+        self.chunks = list(chunks)
+        if not self.chunks:
+            raise ValueError("need at least one chunk")
+
+    def train(
+        self,
+        *,
+        start=None,
+        prior: Optional[Prior] = None,
+        n_models: int,
+        state_size: int,
+        n_iters: int = 10,
+        metric: Metric = "aic",
+        quiet: bool = False,
+        callback: Optional[MetricsCallback] = None,
+        key=None,
+    ):
+        from .models.mix import PPCAMix
+
+        first = _resolve(self.chunks[0])
+        mix = start if start is not None else PPCAMix.init(
+            n_models, state_size, first, key=key
+        )
+        del first
+        n = None
+
+        for idx in range(n_iters):
+            n_out: list = []
+            new_mix, llk = iterate_mix_streamed(mix, self.chunks, prior, _n_out=n_out)
+            n = n if n is not None else n_out[0]
+            if not quiet or callback is not None:
+                metrics = TrainMetrics.compute(llk, mix.n_parameters, n)
+                if callback is not None:
+                    callback(idx + 1, metrics)
+                if not quiet:
+                    print(
+                        f"Masked PPCA mix iteration {idx + 1}: "
+                        f"{metric}={getattr(metrics, metric)}"
+                    )
+            mix = new_mix
+
+        return mix.to_canonical()

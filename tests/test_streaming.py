@@ -103,3 +103,57 @@ def test_sharded_chunks_match_single_shot(rng):
     bad = shard_dataset(full.slice(0, 32), mesh2)
     with pytest.raises(ValueError, match="data-axis"):
         iterate_streamed(model, [bad])
+
+
+def test_mix_streamed_matches_single_shot(rng):
+    """Streamed mixture EM == single-shot fused mixture EM on the
+    concatenated data (resp_max max-combines across chunks), with priors
+    and heterogeneous component state sizes."""
+    from ppca_rs_tpu import PPCAMix, StreamingPPCAMixTrainer, iterate_mix_streamed
+
+    data = make_data(rng, n=120)
+    full = Dataset(data, weights=rng.random(120) + 0.3)
+    chunks = list(full.chunks(3))
+
+    models = [
+        PPCAModel(isotropic_noise=0.4 + 0.1 * i,
+                  transform=rng.normal(size=(6, k)), mean=rng.normal(size=6))
+        for i, k in enumerate([2, 3])          # heterogeneous k
+    ]
+    mix = PPCAMix(models, rng.normal(size=2))
+    prior = Prior().with_isotropic_noise_prior(3.0, 2.0).with_transformation_precision(0.05)
+
+    m1, llk1 = iterate_mix_streamed(mix, chunks, prior)
+    m2, llk2 = mix._iterate_with_llk(full, prior)
+    assert np.isclose(llk1, llk2, rtol=1e-10)
+    for a, b in zip(m1.models, m2.models):
+        np.testing.assert_allclose(a.transform, b.transform, rtol=1e-8, atol=1e-11)
+        assert np.isclose(a.isotropic_noise, b.isotropic_noise, rtol=1e-9)
+    np.testing.assert_allclose(m1.log_weights, m2.log_weights, rtol=1e-8)
+
+    # trainer smoke: llk through iterations stays sane
+    t = StreamingPPCAMixTrainer(chunks).train(
+        n_models=2, state_size=2, n_iters=3, quiet=True
+    )
+    assert np.isfinite(t.llk(full))
+
+
+def test_mix_streamed_sharded_chunks(rng):
+    from ppca_rs_tpu import PPCAMix, iterate_mix_streamed
+    from ppca_rs_tpu.parallel.mesh import make_mesh, shard_dataset
+
+    data = make_data(rng, n=96)
+    full = Dataset(data)
+    mesh = make_mesh(data=4, model=1)
+    chunks = [shard_dataset(full.slice(0, 32), mesh), full.slice(32, 96)]
+    models = [
+        PPCAModel(isotropic_noise=0.5, transform=rng.normal(size=(6, 2)),
+                  mean=np.zeros(6))
+        for _ in range(2)
+    ]
+    mix = PPCAMix(models, np.zeros(2))
+    m1, llk1 = iterate_mix_streamed(mix, chunks)
+    m2, llk2 = mix._iterate_with_llk(full, Prior())
+    assert np.isclose(llk1, llk2, rtol=1e-9)
+    for a, b in zip(m1.models, m2.models):
+        np.testing.assert_allclose(a.transform, b.transform, rtol=1e-7, atol=1e-10)
