@@ -155,8 +155,9 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         """Data-axis-reduced EM sufficient statistics of one sharded chunk,
         replicated on every device — the sharded twin of masked_linalg /
         dense_fast em_stats for the streaming accumulator (stats are
-        additive over chunks).  Data-parallel meshes only (the model axis
-        would leave D-indexed fields device-local)."""
+        additive over chunks).  Data-parallel meshes only — the verb is
+        omitted from the model-axis fns table entirely (the data-axis psum
+        would stitch D_loc-local fields as if they were global)."""
         def inner(C, mean, sigma, data, mask, weights):
             if dense:
                 st = df.em_stats(
@@ -172,6 +173,20 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         return smap(
             inner, (cspec, mspec, rep, rows, rows, wspec), rep
         )(C, mean, sigma, data, mask, weights)
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
+    def em_stats_pat_only(C, mean, sigma, data, mask, weights, pidx, pats,
+                          block_size):
+        """Pattern-table twin of em_stats_only (data-parallel meshes only)."""
+        def inner(C, mean, sigma, data, mask, weights, pidx, pats):
+            st = pd.em_stats(
+                C, mean, sigma, data, mask, pidx, pats, weights,
+                block_size=block_size,
+            )
+            return jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), st)
+        return smap(
+            inner, (cspec, mspec, rep, rows, rows, wspec, pspec, rep), rep
+        )(C, mean, sigma, data, mask, weights, pidx, pats)
 
     @functools.partial(jax.jit, static_argnames=("block_size",))
     def em_step(C, mean, sigma, data, mask, weights, tprec, noise_prior, mean_prior, block_size):
@@ -421,14 +436,13 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         )(Cs, means, sigmas, log_weights, data, mask, weights,
           tprec, noise_prior, mean_prior)
 
-    return {
+    fns = {
         "llks": llks,
         "llk": llk,
         "infer": infer,
         "smooth": smooth,
         "extrapolate": extrapolate,
         "em_step": em_step,
-        "em_stats": em_stats_only,
         "em_n": em_n,
         "llks_pat": llks_pat,
         "llk_pat": llk_pat,
@@ -438,6 +452,13 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         "em_n_pat": em_n_pat,
         "mix_llks": mix_llks,
         "mix_em_step": mix_em_step,
-        "mix_em_stats": mix_em_stats_only,
         "mix_em_n": mix_em_n,
     }
+    if not use_model_axis:
+        # stats-only verbs (the streaming accumulator's sources) psum over
+        # the data axis alone; on a model-axis mesh their D-indexed fields
+        # would be device-local, so the keys simply don't exist there.
+        fns["em_stats"] = em_stats_only
+        fns["em_stats_pat"] = em_stats_pat_only
+        fns["mix_em_stats"] = mix_em_stats_only
+    return fns

@@ -46,6 +46,35 @@ def _stats_jit(C, mean, sigma, data, mask, weights, block_size):
     return ml.em_stats(C, mean, sigma, data, mask, weights, block_size=block_size)
 
 
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _stats_pat_jit(C, mean, sigma, data, mask, pidx, pats, weights, block_size):
+    from .ops import pattern_dedup as pd
+
+    return pd.em_stats(C, mean, sigma, data, mask, pidx, pats, weights,
+                       block_size=block_size)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _stats_dense_jit(C, mean, sigma, data, weights, block_size):
+    from .ops import dense_fast as df
+
+    return _dense_to_masked_stats(
+        df.em_stats(C, mean, sigma, data, weights, block_size=block_size)
+    )
+
+
+def _dense_to_masked_stats(st) -> ml.EMStats:
+    """DenseEMStats -> the common EMStats the streaming accumulator sums:
+    every output row shares the one (k, k) second moment (S[d] = S_common
+    exactly, since all masks are 1) and the per-dim observed-weight totals
+    collapse to w_sum.  Lets dense chunks mix with masked/pattern ones."""
+    D_loc = st.cross.shape[0]
+    S = jnp.broadcast_to(st.S_common.reshape(1, -1), (D_loc, st.S_common.size))
+    totals = jnp.full((D_loc,), st.w_sum, st.cross.dtype)
+    return ml.EMStats(st.cross, S, st.square_error, st.dev_sq,
+                      st.total_dev, totals, st.llk)
+
+
 @jax.jit
 def _stats_add(a: ml.EMStats, b: ml.EMStats) -> ml.EMStats:
     return jax.tree.map(jnp.add, a, b)
@@ -65,30 +94,98 @@ def _resolve(chunk: ChunkLike) -> Dataset:
     return chunk() if callable(chunk) else chunk
 
 
-def _chunk_stats(model: PPCAModel, ds: Dataset):
-    """EM statistics of one chunk: the single-device pass, or the sharded
-    (data-axis psum) pass when the chunk's arrays live on a mesh."""
-    from .parallel.mesh import DATA_AXIS, MODEL_AXIS, dataset_mesh
+def _data_mesh_or_raise(ds: Dataset):
+    """The chunk's data-parallel mesh, or None for resident chunks; rejects
+    model-axis sharding (D-indexed statistics would be device-local)."""
+    from .parallel.mesh import MODEL_AXIS, dataset_mesh
 
     mesh = dataset_mesh(ds)
-    if mesh is None:
-        return _stats_jit(
-            model._transform, model._mean, model._isotropic_noise,
-            ds.data, ds.mask, ds.weights_dev,
-            block_size_for(ds.padded_len),
-        )
-    if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
+    if (mesh is not None and MODEL_AXIS in mesh.axis_names
+            and mesh.shape[MODEL_AXIS] > 1):
         raise ValueError(
             "streaming chunks may be data-axis sharded only (model-axis "
             "sharding keeps D-indexed statistics device-local)"
         )
+    return mesh
+
+
+def _chunk_stats(model: PPCAModel, ds: Dataset) -> ml.EMStats:
+    """EM statistics of one chunk, per-chunk fast-path dispatch mirroring
+    _impl_and_block: fully-observed chunks take the dense pass (converted to
+    the common EMStats shape), structured-missingness chunks the pattern
+    tables, the rest the general masked pass — each single-device or
+    shard_map'd (data-axis psum) when the chunk lives on a mesh."""
+    from .parallel.mesh import DATA_AXIS
+
+    mesh = _data_mesh_or_raise(ds)
+    args = (model._transform, model._mean, model._isotropic_noise)
+    if mesh is None:
+        block = block_size_for(ds.padded_len)
+        if ds.all_observed():
+            return _stats_dense_jit(*args, ds.data, ds.weights_dev, block)
+        pat = ds.pattern_info()
+        if pat is not None:
+            return _stats_pat_jit(*args, ds.data, ds.mask, pat[0], pat[1],
+                                  ds.weights_dev, block)
+        return _stats_jit(*args, ds.data, ds.mask, ds.weights_dev, block)
+
     from .parallel.api import fns_for
 
-    return fns_for(mesh, False)["em_stats"](
-        model._transform, model._mean, model._isotropic_noise,
-        ds.data, ds.mask, ds.weights_dev,
-        block_size_for(max(1, ds.padded_len // mesh.shape[DATA_AXIS])),
-    )
+    block = block_size_for(max(1, ds.padded_len // mesh.shape[DATA_AXIS]))
+    if ds.all_observed():
+        return _dense_to_masked_stats(
+            fns_for(mesh, False, dense=True)["em_stats"](
+                *args, ds.data, ds.mask, ds.weights_dev, block,
+            )
+        )
+    fns = fns_for(mesh, False)
+    pat = ds.pattern_info()
+    if pat is not None:
+        return fns["em_stats_pat"](
+            *args, ds.data, ds.mask, ds.weights_dev, pat[0], pat[1], block,
+        )
+    return fns["em_stats"](*args, ds.data, ds.mask, ds.weights_dev, block)
+
+
+def _accumulate(chunks, stats_fn, add_fn):
+    """Resolve chunks one at a time, accumulating their statistics.
+    Lazily-loaded chunks block on the running total so their device buffers
+    are reclaimable before the next chunk materializes (the point of
+    streaming); pre-resident Dataset chunks keep full async overlap."""
+    if not len(chunks):
+        raise ValueError("need at least one chunk")
+    n_samples = 0
+    total = None
+    for chunk in chunks:
+        ds = _resolve(chunk)
+        n_samples += len(ds)
+        stats = stats_fn(ds)
+        del ds
+        total = stats if total is None else add_fn(total, stats)
+        if callable(chunk):
+            jax.block_until_ready(total.llk)
+    return total, n_samples
+
+
+def _train_loop(model0, chunks, iterate_fn, prior, n_iters, metric, quiet,
+                callback, label):
+    """The shared trainer driver: n_iters streamed iterations with the
+    reference's per-iteration metric printing/callback."""
+    model = model0
+    n = None  # counted during the first streamed pass — no extra I/O
+    for idx in range(n_iters):
+        n_out: list = []
+        new_model, llk = iterate_fn(model, chunks, prior, _n_out=n_out)
+        n = n if n is not None else n_out[0]
+        if not quiet or callback is not None:
+            metrics = TrainMetrics.compute(llk, model.n_parameters, n)
+            if callback is not None:
+                callback(idx + 1, metrics)
+            if not quiet:
+                print(f"{label} iteration {idx + 1}: "
+                      f"{metric}={getattr(metrics, metric)}")
+        model = new_model
+    return model.to_canonical()
 
 
 def iterate_streamed(
@@ -101,27 +198,14 @@ def iterate_streamed(
     ``(new_model, llk)`` where llk is the total log-likelihood of ``model``
     over all chunks — identical to ``model._iterate_with_llk`` on the
     concatenated dataset."""
-    if not len(chunks):
-        raise ValueError("need at least one chunk")
     dtype = model._transform.dtype
     prior = prior if prior is not None else Prior()
     tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
 
-    n_samples = 0
-    total = None
     with _precision(model.output_size):
-        for chunk in chunks:
-            ds = _resolve(chunk)
-            n_samples += len(ds)
-            stats = _chunk_stats(model, ds)
-            del ds
-            total = stats if total is None else _stats_add(total, stats)
-            if callable(chunk):
-                # Lazily-loaded chunk: wait for its statistics so its device
-                # buffers are reclaimable before the next chunk materializes
-                # (the point of streaming). Pre-resident Dataset chunks keep
-                # full async overlap.
-                jax.block_until_ready(total.llk)
+        total, n_samples = _accumulate(
+            chunks, lambda ds: _chunk_stats(model, ds), _stats_add
+        )
         new_C, new_mean, new_sigma = _finalize_jit(
             model._transform, model._mean, model._isotropic_noise,
             total, tprec, noise_prior, mean_prior,
@@ -152,27 +236,12 @@ class StreamingPPCATrainer:
         callback: Optional[MetricsCallback] = None,
         key=None,
     ) -> PPCAModel:
-        first = _resolve(self.chunks[0])
-        model = start if start is not None else PPCAModel.init(state_size, first, key=key)
-        del first
-        n = None  # counted during the first streamed pass — no extra I/O
-
-        for idx in range(n_iters):
-            n_out: list = []
-            new_model, llk = iterate_streamed(model, self.chunks, prior, _n_out=n_out)
-            n = n if n is not None else n_out[0]
-            if not quiet or callback is not None:
-                metrics = TrainMetrics.compute(llk, model.n_parameters, n)
-                if callback is not None:
-                    callback(idx + 1, metrics)
-                if not quiet:
-                    print(
-                        f"Masked PPCA iteration {idx + 1}: "
-                        f"{metric}={getattr(metrics, metric)}"
-                    )
-            model = new_model
-
-        return model.to_canonical()
+        if start is not None:
+            model = start  # warm start: no chunk I/O before the first pass
+        else:
+            model = PPCAModel.init(state_size, _resolve(self.chunks[0]), key=key)
+        return _train_loop(model, self.chunks, iterate_streamed, prior,
+                           n_iters, metric, quiet, callback, "Masked PPCA")
 
 
 # ===================================================================== #
@@ -182,9 +251,9 @@ class StreamingPPCATrainer:
 # accumulate-then-finalize shape as the single-model path.
 
 def _mix_chunk_stats(mix, Cs, means, sigmas, ds: Dataset):
-    from .parallel.mesh import DATA_AXIS, MODEL_AXIS, dataset_mesh
+    from .parallel.mesh import DATA_AXIS
 
-    mesh = dataset_mesh(ds)
+    mesh = _data_mesh_or_raise(ds)
     if mesh is None:
         block = block_size_for(max(1, ds.padded_len // max(1, len(mix._models))))
         pat = mix._pattern(ds)
@@ -196,11 +265,6 @@ def _mix_chunk_stats(mix, Cs, means, sigmas, ds: Dataset):
         return _mix_stats_jit(
             Cs, means, sigmas, mix._log_weights,
             ds.data, ds.mask, ds.weights_dev, block,
-        )
-    if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
-        raise ValueError(
-            "streaming chunks may be data-axis sharded only (model-axis "
-            "sharding keeps D-indexed statistics device-local)"
         )
     from .parallel.api import fns_for
 
@@ -247,26 +311,18 @@ def iterate_mix_streamed(mix, chunks: Sequence[ChunkLike],
     ``mix._iterate_with_llk`` on the concatenated dataset.  Chunks may be
     resident, lazy callables, or data-axis mesh-sharded, mixed freely."""
     from .models.mix import PPCAMix, _precision
-    from .ops import mix_fused as mf
 
-    if not len(chunks):
-        raise ValueError("need at least one chunk")
     dtype = mix._models[0]._transform.dtype
     prior = prior if prior is not None else Prior()
     tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
     Cs, means, sigmas = mix._stacked_params()
 
-    n_samples = 0
-    total = None
     with _precision(mix.output_size):
-        for chunk in chunks:
-            ds = _resolve(chunk)
-            n_samples += len(ds)
-            stats = _mix_chunk_stats(mix, Cs, means, sigmas, ds)
-            del ds
-            total = stats if total is None else _mix_stats_add(total, stats)
-            if callable(chunk):
-                jax.block_until_ready(total.llk)
+        total, n_samples = _accumulate(
+            chunks,
+            lambda ds: _mix_chunk_stats(mix, Cs, means, sigmas, ds),
+            _mix_stats_add,
+        )
         new_Cs, new_means, new_sigmas, new_logw = _mix_finalize_jit(
             Cs, means, sigmas, total, tprec, noise_prior, mean_prior,
         )
@@ -317,26 +373,10 @@ class StreamingPPCAMixTrainer:
     ):
         from .models.mix import PPCAMix
 
-        first = _resolve(self.chunks[0])
-        mix = start if start is not None else PPCAMix.init(
-            n_models, state_size, first, key=key
-        )
-        del first
-        n = None
-
-        for idx in range(n_iters):
-            n_out: list = []
-            new_mix, llk = iterate_mix_streamed(mix, self.chunks, prior, _n_out=n_out)
-            n = n if n is not None else n_out[0]
-            if not quiet or callback is not None:
-                metrics = TrainMetrics.compute(llk, mix.n_parameters, n)
-                if callback is not None:
-                    callback(idx + 1, metrics)
-                if not quiet:
-                    print(
-                        f"Masked PPCA mix iteration {idx + 1}: "
-                        f"{metric}={getattr(metrics, metric)}"
-                    )
-            mix = new_mix
-
-        return mix.to_canonical()
+        if start is not None:
+            mix = start  # warm start: no chunk I/O before the first pass
+        else:
+            mix = PPCAMix.init(n_models, state_size, _resolve(self.chunks[0]),
+                               key=key)
+        return _train_loop(mix, self.chunks, iterate_mix_streamed, prior,
+                           n_iters, metric, quiet, callback, "Masked PPCA mix")

@@ -157,3 +157,51 @@ def test_mix_streamed_sharded_chunks(rng):
     assert np.isclose(llk1, llk2, rtol=1e-9)
     for a, b in zip(m1.models, m2.models):
         np.testing.assert_allclose(a.transform, b.transform, rtol=1e-7, atol=1e-10)
+
+
+def test_dense_and_pattern_chunks_fast_paths(rng):
+    """Fully-observed chunks stream through the dense stats pass (converted
+    to the common EMStats: S[d] = S_common, totals = w_sum), pattern chunks
+    through the tables — both identical to the masked pass, mixed freely
+    with masked chunks, resident or sharded."""
+    from ppca_rs_tpu.parallel.mesh import make_mesh, shard_dataset
+    from ppca_rs_tpu.streaming import _chunk_stats
+
+    n, d = 96, 6
+    dense_part = rng.normal(size=(32, d))
+    pat = rng.random((2, d)) < 0.4
+    pdata = rng.normal(size=(32, d))
+    pdata[pat[rng.integers(0, 2, size=32)]] = np.nan
+    masked_part = make_data(rng, n=32, d=d)
+    full = Dataset.concat(
+        [Dataset(dense_part), Dataset(pdata), Dataset(masked_part)]
+    )
+
+    model = PPCAModel(
+        isotropic_noise=0.6, transform=rng.normal(size=(d, 2)),
+        mean=rng.normal(size=d),
+    )
+    dense_ds = Dataset(dense_part)
+    pat_ds = Dataset(pdata)
+    assert dense_ds.all_observed() and pat_ds.pattern_info() is not None
+
+    chunks = [dense_ds, pat_ds, Dataset(masked_part)]
+    m1, llk1 = iterate_streamed(model, chunks)
+    m2, llk2 = model._iterate_with_llk(full, None)
+    assert np.isclose(llk1, llk2, rtol=1e-9)
+    np.testing.assert_allclose(m1.transform, m2.transform, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(m1.mean, m2.mean, rtol=1e-7, atol=1e-10)
+    assert np.isclose(m1.isotropic_noise, m2.isotropic_noise, rtol=1e-8)
+
+    # sharded dense + sharded pattern chunks hit the sharded fast verbs
+    mesh = make_mesh(data=4, model=1)
+    chunks_sh = [
+        shard_dataset(dense_ds, mesh),
+        shard_dataset(pat_ds, mesh),
+        shard_dataset(Dataset(masked_part), mesh),
+    ]
+    assert chunks_sh[0].all_observed()
+    assert chunks_sh[1].pattern_info() is not None
+    m3, llk3 = iterate_streamed(model, chunks_sh)
+    assert np.isclose(llk3, llk2, rtol=1e-9)
+    np.testing.assert_allclose(m3.transform, m2.transform, rtol=1e-7, atol=1e-10)
