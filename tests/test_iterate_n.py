@@ -133,3 +133,19 @@ def test_trainer_quiet_uses_scan_and_matches(rng):
     bm = PPCAMixTrainer(ds).train(n_models=2, state_size=3, n_iters=3, quiet=False, key=jax.random.PRNGKey(12))
     for x, y in zip(am.models, bm.models):
         np.testing.assert_allclose(x.transform, y.transform, rtol=1e-8, atol=1e-11)
+
+
+def test_iterate_n_bf16_storage(rng):
+    """bf16-stored datasets run the scan path with f32 math (same dtype
+    promotion contract as single-step iterate)."""
+    import jax.numpy as jnp
+
+    ds = _masked_data(rng, 64, 8).astype(jnp.bfloat16)
+    assert ds.dtype == jnp.bfloat16
+    model = PPCAModel.init(3, ds, key=jax.random.PRNGKey(13))
+    fast, llks = model.iterate_n(ds, 3)
+    slow = model
+    for _ in range(3):
+        slow = slow.iterate(ds)
+    np.testing.assert_allclose(fast.transform, slow.transform, rtol=1e-6, atol=1e-8)
+    assert np.isfinite(llks).all()

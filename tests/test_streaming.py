@@ -205,3 +205,20 @@ def test_dense_and_pattern_chunks_fast_paths(rng):
     m3, llk3 = iterate_streamed(model, chunks_sh)
     assert np.isclose(llk3, llk2, rtol=1e-9)
     np.testing.assert_allclose(m3.transform, m2.transform, rtol=1e-7, atol=1e-10)
+
+
+def test_stats_verbs_absent_on_model_axis_mesh(rng):
+    """The stats-only verbs psum over the data axis alone, so they are
+    structurally omitted from the model-axis fns table (a silent
+    D-truncation otherwise)."""
+    from ppca_rs_tpu.parallel.api import fns_for
+    from ppca_rs_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=2, model=4)
+    fns = fns_for(mesh, True)
+    assert "em_stats" not in fns
+    assert "em_stats_pat" not in fns
+    assert "mix_em_stats" not in fns
+    assert "em_step" in fns                      # full steps still exist
+    fns_dp = fns_for(make_mesh(data=8, model=1), False)
+    assert "em_stats" in fns_dp and "mix_em_stats" in fns_dp
