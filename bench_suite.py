@@ -95,6 +95,31 @@ def main():
     rows.append((f"big toy masked EM (D={D}, k={k}, N=1M, 20% missing)",
                  f"{dt / iters:.3f}s/iter", f"{N * iters / dt:,.0f} samples/s"))
 
+    # 3a. k=128: above round-1's k<=72 kernel ceiling -----------------------
+    N, D, k = 262_144, 1024, 128
+    kk = jax.random.split(jax.random.PRNGKey(31), 3)
+
+    @jax.jit
+    def genk():
+        C = jax.random.normal(kk[0], (D, k), dtype=jnp.float32)
+        z = jax.random.normal(kk[1], (N, k), dtype=jnp.float32)
+        eps = jax.random.normal(kk[2], (N, D), dtype=jnp.float32)
+        data = z @ C.T + 0.5 * eps
+        mask = jax.random.bernoulli(kk[0], 0.5, (N, D))
+        return jnp.where(mask, data, 0.0), mask
+
+    kdata, kmask = genk()
+    kds = Dataset.from_parts(kdata, kmask)
+    kmodel = PPCAModel.init(k, kds, key=jax.random.PRNGKey(32))
+    PPCAModel.init(k, kds, key=jax.random.PRNGKey(33)).iterate_n(kds, 3)
+    t0 = time.perf_counter()
+    kmodel, _ = kmodel.iterate_n(kds, 3)
+    jax.block_until_ready(kmodel._transform)
+    dt = time.perf_counter() - t0
+    rows.append((f"masked EM at k=128 (D={D}, N=262k, 50% missing, Pallas kernel)",
+                 f"{dt / 3:.3f}s/iter", f"{N * 3 / dt:,.0f} samples/s"))
+    del kds, kmodel, kdata, kmask
+
     # 3b. Dense fully-observed at the flagship shape ------------------------
     N, D, k = 1_000_000, 1024, 64
     kd = jax.random.split(jax.random.PRNGKey(21), 3)
