@@ -149,3 +149,19 @@ def test_iterate_n_bf16_storage(rng):
         slow = slow.iterate(ds)
     np.testing.assert_allclose(fast.transform, slow.transform, rtol=1e-6, atol=1e-8)
     assert np.isfinite(llks).all()
+
+
+def test_iterate_n_mixture_sharded(rng):
+    """Mixture scan over a (data x model) mesh == unsharded scan."""
+    from ppca_rs_tpu.parallel.mesh import make_mesh, shard_dataset
+
+    ds = _masked_data(rng, 64, 8)
+    mesh = make_mesh(data=4, model=2)
+    sds = shard_dataset(ds, mesh)
+    mix = PPCAMix.init(2, 3, ds, key=jax.random.PRNGKey(21))
+    fast, llks = mix.iterate_n(sds, 2)
+    ref, ref_llks = mix.iterate_n(ds, 2)
+    np.testing.assert_allclose(llks, ref_llks, rtol=1e-8)
+    for a, b in zip(fast.models, ref.models):
+        np.testing.assert_allclose(a.transform, b.transform, rtol=1e-7, atol=1e-10)
+        assert np.isclose(a.isotropic_noise, b.isotropic_noise, rtol=1e-8)
