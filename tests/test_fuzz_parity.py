@@ -88,7 +88,10 @@ def test_fuzz_pattern_path_parity(seed):
 
     pats = rng.random((P, d)) < rng.uniform(0.0, 0.6)
     pats[:, int(rng.integers(0, d))] = False        # one dim missing in some
+    pats[0, 0] = True                               # >=1 genuinely masked entry
     pidx = rng.integers(0, P, size=n)
+    pidx[0] = 0                                     # (else the draw can be fully
+                                                    # observed -> dense path)
     mask = ~pats[pidx]                               # pattern True = missing
     C = rng.normal(size=(d, k))
     mean = rng.normal(size=d) * 3.0
