@@ -65,6 +65,23 @@ def _maybe_checkpoint(model, iteration: int, n_iters: int, path: Optional[str], 
     os.replace(tmp, path)
 
 
+def _scan_segments(model, iterate_n_fn, n_iters: int,
+                   checkpoint_path: Optional[str], checkpoint_every: int):
+    """Run n_iters scanned EM iterations; with a checkpoint path, scan in
+    checkpoint_every-sized segments and dump atomically at each boundary
+    (one compiled program per distinct segment length — at most two)."""
+    if checkpoint_path is None:
+        return iterate_n_fn(model, n_iters)
+    every = max(checkpoint_every, 1)
+    done = 0
+    while done < n_iters:
+        step = min(every, n_iters - done)
+        model = iterate_n_fn(model, step)
+        done += step
+        _maybe_checkpoint(model, done, n_iters, checkpoint_path, every)
+    return model
+
+
 @dataclass
 class PPCATrainer:
     """A trainer for a PPCA model over masked data
@@ -90,12 +107,16 @@ class PPCATrainer:
         model = start if start is not None else PPCAModel.init(state_size, self.dataset, key=key)
         n = len(self.dataset)
 
-        # Pure-compute training (no per-iteration side effects requested):
-        # run ALL iterations in one compiled scan — no per-iteration
-        # dispatch or host sync (iterate_n).
-        if quiet and callback is None and checkpoint_path is None:
+        # Pure-compute training (no per-iteration metrics requested): run the
+        # iterations in compiled scans — no per-iteration dispatch or host
+        # sync (iterate_n).  With checkpointing, scan in checkpoint_every-
+        # sized segments and dump at each segment boundary.
+        if quiet and callback is None:
             with trace(profile_dir):
-                model, _ = model.iterate_n(self.dataset, n_iters, prior)
+                model = _scan_segments(
+                    model, lambda m, k: m.iterate_n(self.dataset, k, prior)[0],
+                    n_iters, checkpoint_path, checkpoint_every,
+                )
             return model.to_canonical()
 
         with trace(profile_dir):
@@ -147,10 +168,13 @@ class PPCAMixTrainer:
         )
         n = len(self.dataset)
 
-        # Pure-compute training: one compiled scan for all iterations.
-        if quiet and callback is None and checkpoint_path is None:
+        # Pure-compute training: compiled scans (segmented by checkpoints).
+        if quiet and callback is None:
             with trace(profile_dir):
-                model, _ = model.iterate_n(self.dataset, n_iters, prior)
+                model = _scan_segments(
+                    model, lambda m, k: m.iterate_n(self.dataset, k, prior)[0],
+                    n_iters, checkpoint_path, checkpoint_every,
+                )
             return model.to_canonical()
 
         with trace(profile_dir):

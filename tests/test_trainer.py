@@ -82,3 +82,24 @@ def test_mix_trainer(capsys):
     assert np.isfinite(model.llk(data))
     PPCAMixTrainer(data).train(n_models=1, state_size=1, n_iters=1)
     assert "Masked PPCA mix iteration 1" in capsys.readouterr().out
+
+
+def test_quiet_checkpoint_segmented_scan_matches_loop(tmp_path):
+    """quiet+checkpoint training (segmented iterate_n scans) == verbose
+    training (the per-iteration loop) with the same checkpoint cadence."""
+    real = ground_truth()
+    data = real.sample(80, 0.3)
+    pa, pb = str(tmp_path / "a.ppca"), str(tmp_path / "b.ppca")
+    import jax
+    a = PPCATrainer(data).train(state_size=2, n_iters=5, quiet=True,
+                                checkpoint_path=pa, checkpoint_every=2,
+                                key=jax.random.PRNGKey(40))
+    import io, contextlib
+    with contextlib.redirect_stdout(io.StringIO()):
+        b = PPCATrainer(data).train(state_size=2, n_iters=5, quiet=False,
+                                    checkpoint_path=pb, checkpoint_every=2,
+                                    key=jax.random.PRNGKey(40))
+    np.testing.assert_allclose(a.transform, b.transform, rtol=1e-9, atol=1e-12)
+    ra = PPCAModel.load(open(pa, "rb").read())
+    rb = PPCAModel.load(open(pb, "rb").read())
+    np.testing.assert_allclose(ra.transform, rb.transform, rtol=1e-9, atol=1e-12)
