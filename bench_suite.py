@@ -97,7 +97,7 @@ def main():
 
     # 3a. k=128: above round-1's k<=72 kernel ceiling -----------------------
     N, D, k = 262_144, 1024, 128
-    kk = jax.random.split(jax.random.PRNGKey(31), 3)
+    kk = jax.random.split(jax.random.PRNGKey(31), 4)
 
     @jax.jit
     def genk():
@@ -105,7 +105,7 @@ def main():
         z = jax.random.normal(kk[1], (N, k), dtype=jnp.float32)
         eps = jax.random.normal(kk[2], (N, D), dtype=jnp.float32)
         data = z @ C.T + 0.5 * eps
-        mask = jax.random.bernoulli(kk[0], 0.5, (N, D))
+        mask = jax.random.bernoulli(kk[3], 0.5, (N, D))
         return jnp.where(mask, data, 0.0), mask
 
     kdata, kmask = genk()
@@ -131,7 +131,7 @@ def main():
         eps = jax.random.normal(kd[2], (N, D), dtype=jnp.float32)
         return z @ C.T + 0.5 * eps
 
-    dds_full = Dataset.from_parts(gend(), jnp.ones((N, D), bool))
+    dds_full = Dataset.unmasked(gend())
     assert dds_full.all_observed()
     dmodel = PPCAModel.init(k, dds_full, key=jax.random.PRNGKey(22))
     # warm the exact scan with a different init (results cache per args)

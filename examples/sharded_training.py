@@ -33,7 +33,8 @@ print(model)
 # inside ONE lax.scan (collectives once per iteration, zero per-iteration
 # dispatch), with the llk trace still returned.
 model2, llks = model.iterate_n(dataset, 5)
-assert np.all(np.diff(llks) > -1e-6), "plain EM llk is monotone"
+# monotone up to f32 reduction noise (llk totals are ~1e6 here)
+assert np.all(np.diff(llks) > -1e-6 * np.abs(llks[:-1])), "plain EM llk is monotone"
 print(f"5 more scanned iterations: llk {llks[0]:.1f} -> {model2.llk(dataset):.1f}")
 
 # Sharded chunks also stream: a fleet can train on datasets larger than its
@@ -46,7 +47,8 @@ chunks = [
     shard_dataset(Dataset(data[half:]), mesh),
 ]
 streamed, llk_s = iterate_streamed(model2, chunks)
-single, llk_f = model2._iterate_with_llk(dataset, None)
-assert np.isclose(llk_s, llk_f, rtol=1e-6)
+single = model2.iterate(dataset)
+assert np.isclose(llk_s, float(model2.llk(dataset)), rtol=1e-5)
+assert np.allclose(streamed.transform, single.transform, rtol=1e-4, atol=1e-5)
 print(f"streamed == single-shot iteration: llk {llk_s:.1f}")
 print("ok: sharded training, scanned training, and sharded streaming agree")
