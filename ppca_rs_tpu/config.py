@@ -48,6 +48,18 @@ class Config:
     #: as the starting point if a scheduling-hint path opens up.
     use_fused_estep: bool = False
 
+    #: Compute the fused mixture EM's per-component residual norms from a
+    #: materialized (M, block, D) residual instead of the lane-major expanded
+    #: quadratic |md0|^2 - 2 md0.dm + mask.dm^2.  The expanded form's f32
+    #: cancellation error grows ~O(mean_separation^2 / sigma^2) relative
+    #: (measured dev_sq ~7e-4 and llk ~1.6e-4 rel vs f64 at separation 300
+    #: with residual 0.5); the materialized form is immune but costs the
+    #: (M, block, D) temporary the fast path exists to avoid.  Leave False
+    #: unless component means are separated by >> 100x the noise scale and
+    #: exact llk/noise values matter more than EM speed (EM *convergence* is
+    #: unaffected either way).
+    mix_exact_rnorm: bool = False
+
     #: Mask-pattern deduplication: when a dataset has P distinct mask
     #: patterns with P << N (structured missingness), per-sample
     #: factorizations collapse to a P-sized table (ops/pattern_dedup.py).
@@ -70,6 +82,8 @@ if os.environ.get("PPCA_RS_TPU_NO_NATIVE"):
     config.use_native = False
 if os.environ.get("PPCA_RS_TPU_FUSED_ESTEP"):
     config.use_fused_estep = True
+if os.environ.get("PPCA_RS_TPU_MIX_EXACT_RNORM"):
+    config.mix_exact_rnorm = True
 if os.environ.get("PPCA_RS_TPU_MATMUL_PRECISION"):
     config.matmul_precision = os.environ["PPCA_RS_TPU_MATMUL_PRECISION"]
 

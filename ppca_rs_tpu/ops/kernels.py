@@ -79,12 +79,28 @@ from jax.experimental.pallas import tpu as pltpu
 LN_2PI = 1.8378770664093453
 
 LANE = 128
-# VMEM sizing: the "full" variant holds A double-buffered (2x) + Res + the
-# pipelined SM output (2x) = ~5 k^2 LANE f32 in VMEM.  The v5e has 128 MB of
-# physical VMEM; the default Mosaic limit is ~16 MB (which capped k at 72 in
-# round 1) and is raised per-call via CompilerParams(vmem_limit_bytes) below
-# (clamped to the 128 MB physical capacity).
-MAX_K = 192  # 5 * 192^2 * 128 * 4B = 94 MB + temporaries fits in 128 MB
+# VMEM sizing: the "full" variant's comfortable configuration holds A
+# double-buffered (2x) + Res + the pipelined SM output (2x) = ~5 k^2 LANE
+# f32 in VMEM.  The v5e has 128 MB of physical VMEM; the default Mosaic
+# limit is ~16 MB (which capped k at 72 in round 1) and is raised per-call
+# via CompilerParams(vmem_limit_bytes) below (clamped to the 128 MB
+# physical capacity).
+#
+# Beyond k = 192 the comfortable configuration no longer fits, and falling
+# back to XLA's batched Cholesky is a silent 15-50x cliff.  A LEAN
+# configuration extends the ceiling: A single-buffered (the G prefetch
+# overlap is worth ~2% at big k, where compute is ~k^3 and the DMA ~k^2),
+# and the SM output staged in ONE VMEM scratch DMA'd to HBM manually at
+# tile end instead of a double-buffered pipeline block.  That is 3 big
+# buffers for full/fullt/infer (k <= 256), 2 for states (k <= ~312) and
+# 1 for llk/chol (k <= ~440) — see _kernel_config / max_k().  Past those,
+# supported() is False and masked_linalg warns loudly before taking the
+# XLA fallback.
+MAX_K = 192  # ceiling of the comfortable (double-buffered, pipelined) config
+
+# VMEM budget used to size configurations: physical 128 MB minus headroom
+# for Mosaic's stack temporaries and alignment overhead.
+VMEM_BUDGET = 108 * 1024 * 1024
 
 PANEL = 8  # staircase panel width (multiple of 8; 8 beat 16: 2.14 vs 2.45 ms/8k at k=64)
 
@@ -146,16 +162,36 @@ def _panels(k: int, width: int = PANEL):
     return panels
 
 
-def _make_kernel(want: str):
+def _make_kernel(want: str, single_buf: bool = False, sm_manual: bool = False):
+    """Kernel body factory.
+
+    ``single_buf``: A holds ONE (k, k, T) slot (no G prefetch overlap) —
+    the lean big-k configuration; at large k the DMA is ~2% of compute.
+    ``sm_manual``: the (k, k, B) second-moment output lives in ANY memory
+    and is written from a single VMEM scratch by an explicit DMA at tile
+    end, instead of a double-buffered pipelined output block.  (For "chol"
+    the L output plays the SM role.)
+    """
     def kernel(sigma_ref, G_hbm, b_ref, rn_ref, dob_ref, *rest):
+        out_sem = None
+        SM_hbm = None
         if want in ("llk", "chol"):
-            (llk_ref, A_scr, in_sems) = rest   # llk_ref is L_ref for "chol"
+            if want == "chol" and sm_manual:
+                (L_hbm, A_scr, L_scr, in_sems, out_sem) = rest
+                llk_ref = L_scr          # progressive column writes -> scratch
+                SM_hbm = L_hbm
+            else:
+                (llk_ref, A_scr, in_sems) = rest   # llk_ref is L_ref for "chol"
             Res_scr = None
             SM_ref = None
         elif want == "states":
             (s_ref, llk_ref, A_scr, Res_scr, in_sems) = rest
             SM_ref = None
-        else:  # "full" / "infer" / "fullt"
+        elif sm_manual:      # lean "full" / "infer" / "fullt"
+            (s_ref, SM_hbm, llk_ref, sq_ref, A_scr, Res_scr, SM_scr,
+             in_sems, out_sem) = rest
+            SM_ref = SM_scr
+        else:                # "full" / "infer" / "fullt"
             (s_ref, SM_ref, llk_ref, sq_ref, A_scr, Res_scr, in_sems) = rest
 
         k = A_scr.shape[1]
@@ -166,7 +202,10 @@ def _make_kernel(want: str):
         i = pl.program_id(0)
         n_tiles = pl.num_programs(0)
         two = jnp.asarray(2, jnp.asarray(i).dtype)
-        cur = lax.rem(jnp.asarray(i), two)
+        if single_buf:
+            cur = 0
+        else:
+            cur = lax.rem(jnp.asarray(i), two)
         nxt = lax.rem(jnp.asarray(i) + 1, two)
 
         def g_copy(slot, tile):
@@ -174,14 +213,28 @@ def _make_kernel(want: str):
                 G_hbm.at[:, :, pl.ds(tile * T, T)], A_scr.at[slot], in_sems.at[slot]
             )
 
+        def sm_flush():
+            """Manual DMA of the finished SM/L tile to its HBM output.
+            Started and waited serially: the copy is ~k^2 T bytes against
+            ~k^3 T compute, so overlap isn't worth a second scratch."""
+            copy = pltpu.make_async_copy(
+                llk_ref if want == "chol" else SM_ref,
+                SM_hbm.at[:, :, pl.ds(i * T, T)],
+                out_sem,
+            )
+            copy.start()
+            copy.wait()
 
-        @pl.when(i == 0)
-        def _():
-            g_copy(cur, i).start()
+        if single_buf:
+            g_copy(0, i).start()
+        else:
+            @pl.when(i == 0)
+            def _():
+                g_copy(cur, i).start()
 
-        @pl.when(i + 1 < n_tiles)
-        def _():
-            g_copy(nxt, i + 1).start()
+            @pl.when(i + 1 < n_tiles)
+            def _():
+                g_copy(nxt, i + 1).start()
 
         g_copy(cur, i).wait()             # A[cur] now holds G (no sigma^2 yet)
 
@@ -225,6 +278,8 @@ def _make_kernel(want: str):
             carry = jnp.zeros((), jnp.int32)
             for j0, j1 in _panels(k):
                 carry = lax.fori_loop(0, (j1 - j0) // 2, make_body_c(j0, j1), carry)
+            if sm_manual:
+                sm_flush()
             return
 
         if want == "llk":
@@ -363,11 +418,46 @@ def _make_kernel(want: str):
                 # SM = s s^T + sigma^2 M^{-1}
                 SM_ref[...] = (s[:, None, :] * s[None, :, :]
                                + sigma2[None, None, :] * SM_ref[...])
+            if sm_manual:
+                sm_flush()
 
     return kernel
 
 
-_KERNELS = {w: _make_kernel(w) for w in WANTS}
+@functools.lru_cache(maxsize=None)
+def _kernel_fn(want: str, single_buf: bool, sm_manual: bool):
+    return _make_kernel(want, single_buf, sm_manual)
+
+
+# big-buffer counts per configuration: comfortable = A double-buffered +
+# (Res) + pipelined SM/L output (2x); lean = A single + (Res) + one
+# manually-DMA'd SM/L scratch.
+_N_COMFORT = {"llk": 2, "chol": 4, "states": 3}
+_N_LEAN = {"llk": 1, "chol": 2, "states": 2}
+
+
+def _kernel_config(want: str, k: int, T: int):
+    """Pick ``(single_buf, sm_manual)`` for this (want, k-padded, tile), or
+    None when no configuration fits ``VMEM_BUDGET``.  The comfortable
+    (double-buffered, pipelined) configuration is preserved whenever it
+    fits — it is the benchmarked fast path; the lean configuration extends
+    the k ceiling (see the module docstring)."""
+    if k < 1:
+        return None
+    temps = 24 * (k + 4) * T * 4
+    if _N_COMFORT.get(want, 5) * k * k * T * 4 + temps <= VMEM_BUDGET:
+        return (False, False)
+    if _N_LEAN.get(want, 3) * k * k * T * 4 + temps <= VMEM_BUDGET:
+        return (True, want not in ("llk", "states"))
+    return None
+
+
+def max_k(want: str = "full", T: int = LANE) -> int:
+    """Largest state size the fused kernel handles for this variant."""
+    k = 0
+    while _kernel_config(want, k + 8, T) is not None:
+        k += 8
+    return k
 
 
 @functools.partial(jax.jit, static_argnames=("want", "interpret", "tile"))
@@ -432,12 +522,22 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
         raise ValueError(f"batch {B} must be a multiple of tile {T}")
     grid = (B // T,)
 
+    cfg = _kernel_config(want, k, T)
+    if cfg is None:
+        raise ValueError(
+            f"state size k={k} exceeds the fused kernel's VMEM ceiling for "
+            f"want={want!r} (max {max_k(want, T)}); route through the XLA "
+            "fallback instead (see masked_linalg._use_kernel)"
+        )
+    single_buf, sm_manual = cfg
+
     def vec_spec(rows):
         return pl.BlockSpec((rows, T), lambda i: (0, i), memory_space=pltpu.VMEM)
 
-    a_scr = pltpu.VMEM((2, k, k, T), dtype)          # double-buffered G/A
+    n_slots = 1 if single_buf else 2
+    a_scr = pltpu.VMEM((n_slots, k, k, T), dtype)    # (double-buffered) G/A
     res_scr = pltpu.VMEM((k, k, T), dtype)
-    sems = pltpu.SemaphoreType.DMA((2,))
+    sems = pltpu.SemaphoreType.DMA((n_slots,))
     if want == "llk":
         out_specs = (vec_spec(1),)
         out_shape = (jax.ShapeDtypeStruct((1, B), dtype),)
@@ -450,12 +550,12 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
         )
         scratch = [a_scr, res_scr, sems]
     else:
-        out_specs = (
-            vec_spec(k),
-            pl.BlockSpec((k, k, T), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            vec_spec(1),
-            vec_spec(1),
+        sm_spec = (
+            pl.BlockSpec(memory_space=pl.ANY)
+            if sm_manual
+            else pl.BlockSpec((k, k, T), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
         )
+        out_specs = (vec_spec(k), sm_spec, vec_spec(1), vec_spec(1))
         out_shape = (
             jax.ShapeDtypeStruct((k, B), dtype),
             jax.ShapeDtypeStruct((k, k, B), dtype),
@@ -463,10 +563,14 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
             jax.ShapeDtypeStruct((1, B), dtype),
         )
         scratch = [a_scr, res_scr, sems]
+        if sm_manual:
+            scratch = [a_scr, res_scr, pltpu.VMEM((k, k, T), dtype), sems,
+                       pltpu.SemaphoreType.DMA]
 
     # Raise the Mosaic VMEM allowance to what the buffers actually need (the
     # default ~16 MB limit is far below the chip's 128 MB and capped k at 72).
-    n_big = {"llk": 2, "states": 3, "full": 5, "infer": 5, "fullt": 5}[want]
+    counts = _N_LEAN if single_buf else _N_COMFORT
+    n_big = counts.get(want, 3 if single_buf else 5)
     # Mosaic also stack-allocates the kernel-body temporaries (each column
     # step holds a few (k, T) values), so leave generous headroom.
     vmem_bytes = n_big * k * k * T * 4 + 24 * (k + 4) * T * 4
@@ -476,7 +580,7 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
             vmem_limit_bytes=min(int(vmem_bytes * 1.3) + (4 << 20), 128 * 1024 * 1024)
         )
     out = pl.pallas_call(
-        _KERNELS[want],
+        _kernel_fn(want, single_buf, sm_manual),
         grid=grid,
         in_specs=[
             vec_spec(1),                            # per-lane sigma^2
@@ -526,22 +630,40 @@ def spd_chol(M3: jax.Array, *, interpret: bool = False) -> jax.Array:
     T = LANE
     grid = (B8 // T,)
 
-    a_scr = pltpu.VMEM((2, kk, kk, T), dtype)
-    sems = pltpu.SemaphoreType.DMA((2,))
+    cfg = _kernel_config("chol", kk, T)
+    if cfg is None:
+        raise ValueError(
+            f"state size k={k} exceeds the fused Cholesky kernel's VMEM "
+            f"ceiling (max {max_k('chol', T)})"
+        )
+    single_buf, sm_manual = cfg
+    n_slots = 1 if single_buf else 2
+    a_scr = pltpu.VMEM((n_slots, kk, kk, T), dtype)
+    sems = pltpu.SemaphoreType.DMA((n_slots,))
     zero_vec = jnp.zeros((1, B8), dtype)
     zero_b = jnp.zeros((kk, B8), dtype)
 
     def vec_spec(rows):
         return pl.BlockSpec((rows, T), lambda i: (0, i), memory_space=pltpu.VMEM)
 
+    if sm_manual:
+        out_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [a_scr, pltpu.VMEM((kk, kk, T), dtype), sems,
+                   pltpu.SemaphoreType.DMA]
+    else:
+        out_spec = pl.BlockSpec((kk, kk, T), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+        scratch = [a_scr, sems]
+
     kwargs = {}
     if not interpret:
-        vmem_bytes = 4 * kk * kk * T * 4 + 24 * (kk + 4) * T * 4
+        n_big = (_N_LEAN if single_buf else _N_COMFORT)["chol"]
+        vmem_bytes = n_big * kk * kk * T * 4 + 24 * (kk + 4) * T * 4
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=min(int(vmem_bytes * 1.3) + (4 << 20), 128 * 1024 * 1024)
         )
     (Lt,) = pl.pallas_call(
-        _KERNELS["chol"],
+        _kernel_fn("chol", single_buf, sm_manual),
         grid=grid,
         in_specs=[
             vec_spec(1),
@@ -550,11 +672,9 @@ def spd_chol(M3: jax.Array, *, interpret: bool = False) -> jax.Array:
             vec_spec(1),
             vec_spec(1),
         ],
-        out_specs=(
-            pl.BlockSpec((kk, kk, T), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-        ),
+        out_specs=(out_spec,),
         out_shape=(jax.ShapeDtypeStruct((kk, kk, B8), dtype),),
-        scratch_shapes=[a_scr, sems],
+        scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
     )(zero_vec, M3, zero_b, zero_vec, zero_vec)
@@ -563,7 +683,16 @@ def spd_chol(M3: jax.Array, *, interpret: bool = False) -> jax.Array:
     return L3[:k, :k, :B]
 
 
-def supported(k: int, block: int, dtype) -> bool:
-    """Whether the fused kernel handles this configuration."""
+def supported(k: int, block: int, dtype, want: str = "full") -> bool:
+    """Whether the fused kernel handles this configuration.
+
+    The ceiling depends on the variant's buffer count (see the module
+    docstring): full/fullt/infer reach k=256, states ~312, llk/chol ~440;
+    pass ``want`` so lighter variants aren't capped by the full kernel."""
     k8 = -(-k // 8) * 8  # the kernel zero-pads k to a sublane multiple
-    return 1 <= k8 <= MAX_K and block % LANE == 0 and dtype == jnp.float32
+    return (
+        k8 >= 1
+        and _kernel_config(want, k8, LANE) is not None
+        and block % LANE == 0
+        and dtype == jnp.float32
+    )

@@ -33,6 +33,7 @@ cross-moment, so padded transform columns come out exactly 0).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -254,6 +255,16 @@ def _block_mix_fast(Cs, Cs_t, Cdm_t, CCs_t, mean0, dm, dm2, sigmas,
     - Residual statistics use s^T G s = b.s - sigma^2 |s|^2 (M s = b), so
       dev_sq needs only k-sized per-sample quantities and total_dev two
       (M, D) contractions (same identities as the single-model paths).
+
+    Precision envelope: ``rnorm`` comes from the expanded quadratic
+    ``|md0|^2 - 2 md0.dm + mask.dm^2`` (full-f32 products), whose
+    cancellation error relative to the residual grows
+    ~O(mean_separation^2 / sigma^2) — measured dev_sq rel err ~7e-4 and llk
+    ~1.6e-4 vs f64 at separation 300 with residual 0.5.  EM convergence is
+    unaffected (the M-step is a ratio of weighted sums), but for widely
+    separated components where exact llk/noise values matter,
+    ``config.mix_exact_rnorm`` routes mix_em_stats to the R-materializing
+    :func:`_block_mix`, which is immune.
     """
     M, D_loc, k = Cs.shape
     B = datab.shape[0]
@@ -386,7 +397,7 @@ def _mix_prep(Cs, data, block_size, axis_model, *arrays):
     M, D_loc, k = Cs.shape
     dtype = ml.compute_dtype(data.dtype, Cs.dtype)
     CCs = (Cs[:, :, :, None] * Cs[:, :, None, :]).reshape(M, D_loc, k * k)
-    use_kernel = ml._use_kernel(k, block_size, dtype, axis_model)
+    use_kernel = ml._use_kernel(k, block_size, dtype, axis_model)  # full-variant ceiling
     _, blocks = _pad_blocks(data.shape[0], block_size, data, *arrays)
     return dtype, CCs, use_kernel, blocks
 
@@ -425,9 +436,11 @@ def _lane_major_prep(Cs, means, CCs):
 
 def _block_llks_kernel(lane_prep, means, sigmas, datab, mask_f,
                        axis_model: Optional[str], want: str):
-    """llk/states fast path for one block: three shared MXU matmuls feed the
-    fused SPD kernel with all M components stacked on the lane axis.
-    Returns (llks (M, B), s (M, B, k) or None)."""
+    """llk/states/infer fast path for one block: three shared MXU matmuls
+    feed the fused SPD kernel with all M components stacked on the lane
+    axis — no (M, B, D) temporary (the lane-major layout that won +23% on
+    the EM block, applied to the readout verbs too).
+    Returns (llks (M, B), s (M, B, k) or None, Sig (M, B, k, k) or None)."""
     from . import kernels
 
     CC_km, Cs_km, Cdm_km, mean0, dm = lane_prep
@@ -460,9 +473,16 @@ def _block_llks_kernel(lane_prep, means, sigmas, datab, mask_f,
     )
     if want == "llk":
         (llk_l,) = out
-        return llk_l.reshape(M, B), None
+        return llk_l.reshape(M, B), None, None
+    if want == "infer":
+        s_t, Sig3, llk_l, _ = out
+        return (
+            llk_l.reshape(M, B),
+            s_t.reshape(k, M, B).transpose(1, 2, 0),
+            Sig3.reshape(k, k, M, B).transpose(2, 3, 0, 1),
+        )
     s_t, llk_l = out
-    return llk_l.reshape(M, B), s_t.reshape(k, M, B).transpose(1, 2, 0)
+    return llk_l.reshape(M, B), s_t.reshape(k, M, B).transpose(1, 2, 0), None
 
 
 def mix_llks(Cs, means, sigmas, data, mask, *, block_size: int,
@@ -498,7 +518,7 @@ def mix_llks(Cs, means, sigmas, data, mask, *, block_size: int,
     def body(_, xs):
         datab, maskb = xs
         if use_kernel:
-            llks, _ = _block_llks_kernel(
+            llks, _, _ = _block_llks_kernel(
                 lane_prep, means, sigmas, datab.astype(dtype),
                 maskb.astype(dtype), axis_model, "llk",
             )
@@ -541,12 +561,21 @@ def mix_infer(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
         dtype, CCs, use_kernel, (data3, mask3) = _mix_prep(
             Cs, data, block_size, axis_model, mask
         )
+        lane_prep = _lane_major_prep(Cs, means, CCs) if use_kernel else None
 
         def body(_, xs):
             datab, maskb = xs
+            if use_kernel:
+                # lane-major block: no (M, B, D) centered-data temporary
+                # (round 3; the same rework that won +23% on the EM block)
+                llks, s, Sig = _block_llks_kernel(
+                    lane_prep, means, sigmas, datab.astype(dtype),
+                    maskb.astype(dtype), axis_model, "infer",
+                )
+                return None, (llks.T, s, Sig)
             _, llks, s, Sig, _ = _block_post(
                 Cs, CCs, means, sigmas, datab.astype(dtype), maskb.astype(dtype),
-                use_kernel, axis_model, "infer",
+                False, axis_model, "infer",
             )
             return None, (llks.T, s, Sig.reshape(M, -1, k, k))
 
@@ -593,7 +622,7 @@ def mix_smooth(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
                 Cs, means, sigmas, tables, datab, mask_f, pb, center=center
             )
         elif use_kernel:
-            llks, s = _block_llks_kernel(
+            llks, s, _ = _block_llks_kernel(
                 lane_prep, means, sigmas, datab, mask_f, axis_model, "states"
             )
         else:
@@ -627,14 +656,20 @@ def mix_em_stats(Cs, means, sigmas, log_weights, data, mask, weights, *,
                  block_size: int, axis_model: Optional[str] = None) -> MixEMStats:
     """One fused pass computing every component's EM statistics, the
     responsibilities, the mixture llk, and the new-weight numerators."""
+    from ..config import config
+
     n, _ = data.shape
     M, D_loc, k = Cs.shape
     dtype = ml.compute_dtype(data.dtype, Cs.dtype)
     CCs = (Cs[:, :, :, None] * Cs[:, :, None, :]).reshape(M, D_loc, k * k)
-    use_kernel = ml._use_kernel(k, block_size, dtype, axis_model)
+    use_kernel = ml._use_kernel(k, block_size, dtype, axis_model, "fullt")
     _, (data3, mask3, w2) = _pad_blocks(n, block_size, data, mask, weights)
 
-    if axis_model is None:
+    # config.mix_exact_rnorm: the lane-major fast block's expanded rnorm
+    # quadratic cancels ~O(separation^2); the R-materializing _block_mix
+    # computes it from the actual residual (see _block_mix_fast docstring).
+    use_fast = axis_model is None and not config.mix_exact_rnorm
+    if use_fast:
         # Loop-invariant operands of the fast block, hoisted: centering
         # pieces and the (.., M, D)-flattened transposes that make every
         # per-block contraction land in the kernel's lane-major layout.
@@ -646,7 +681,7 @@ def mix_em_stats(Cs, means, sigmas, log_weights, data, mask, weights, *,
 
     def body(acc, xs):
         datab, maskb, w = xs
-        if axis_model is None:
+        if use_fast:
             new = _block_mix_fast(Cs, Cs_t, Cdm_t, CCs_t, mean0, dm, dm2,
                                   sigmas, log_weights, datab.astype(dtype),
                                   maskb.astype(dtype), w.astype(dtype),
@@ -685,10 +720,16 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
     dtype = ml.compute_dtype(data.dtype, Cs.dtype)
     patterns_f = patterns.astype(dtype)
     P = patterns_f.shape[0]
+    from ..config import config
+
     tables = compute_mix_tables(Cs, sigmas, patterns_f)
     group_outer = P <= D_loc
     center = _center_prep(Cs, means)
     mean0, dm, _ = center
+    # mix_exact_rnorm: center=None makes _block_post_pat materialize the
+    # per-component residual, so rnorm (hence llks/dev_sq) avoids the
+    # expanded quadratic's O(separation^2) cancellation (see _block_mix_fast).
+    post_center = None if config.mix_exact_rnorm else center
     _, (data3, mask3, pidx3, w2) = _pad_blocks(n, block_size, data, mask, pidx, weights)
 
     def body(acc, xs):
@@ -700,7 +741,7 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
         # center => no (M, B, D) R; b/rnorm come from shared matmuls against
         # mask*(data - mean0) and mask (see _block_post_pat).
         _, llks, s, _, sq_b, b, rnorm = _block_post_pat(
-            Cs, means, sigmas, tables, datab, mask_f, pb, center
+            Cs, means, sigmas, tables, datab, mask_f, pb, post_center
         )
         md0 = mask_f * (datab - mean0[None, :])             # (B,D) shared
 
@@ -717,13 +758,32 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
         c2 = lax.dot_general(srw, mask_f, (((1,), (0,)), ((), ())))
         c2t = jnp.transpose(c2.reshape(k, M, D_loc), (1, 2, 0))     # (M,D,k)
         cross = jnp.transpose(c1.reshape(k, M, D_loc), (1, 2, 0)) - dm[:, :, None] * c2t
-        outer_s = (s[..., :, None] * s[..., None, :]).reshape(M, B, k * k)
         onehot = (pb[:, None] == jnp.arange(P, dtype=pb.dtype)[None, :]).astype(dtype)
         wsum = jnp.einsum("mb,bp->mp", resp, onehot)        # (M,P)
-        if group_outer:
-            Souter = jnp.einsum("bp,mbq->mpq", onehot, outer_s * resp[..., None])
-        else:
-            Souter = jnp.einsum("bd,mbq->mdq", mask_f, outer_s * resp[..., None])
+        # Souter needs the order-3 contraction onehot x s_i x s_j, which has
+        # no two-matmul factoring; instead of materializing the full
+        # (M, B, k^2) outer_s (268 MB/block at k=32, M=8 — the round-2
+        # block-size cap), build it in row chunks so the temporary stays
+        # ~<=64 MB and each chunk is still one MXU matmul.
+        sw = s * resp[..., None]                            # (M,B,k) weighted once
+        ic = max(1, (1 << 26) // max(1, M * B * k * 4))     # rows/chunk: ~64 MB temp
+        parts = []
+        for i0 in range(0, k, ic):
+            i1 = min(i0 + ic, k)
+            chunk = (sw[..., i0:i1, None] * s[..., None, :]).reshape(
+                M, B, (i1 - i0) * k
+            )
+            if group_outer:
+                parts.append(jnp.einsum("bp,mbq->mpq", onehot, chunk))
+            else:
+                parts.append(jnp.einsum("bd,mbq->mdq", mask_f, chunk))
+        Souter = (
+            parts[0]
+            if len(parts) == 1
+            else jnp.concatenate(parts, axis=-1)
+        )
+        # parts are (M, *, ic*k) slabs of the (i, j)-flattened outer axis in
+        # row order, so concatenation restores the exact (k*k,) layout.
 
         # Residual statistics without the (M, B, D) dev array: s = M^{-1} b
         # exactly (s = Sigma b / sigma^2), so s^T G s = b.s - sigma^2 |s|^2
@@ -787,7 +847,7 @@ def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
     inv_scale = jnp.where(alive, 1.0 / jnp.where(alive, stats.resp_max, 1.0), 0.0)
 
     def finalize_one(C, mean, sigma, cross, S, square_error, dev_sq,
-                     total_dev, totals, c, rows=None):
+                     total_dev, totals, c, rows=None, *, under_vmap=False):
         st = ml.EMStats(cross * c, S * c, square_error * c, dev_sq * c,
                         total_dev * c, totals * c, jnp.zeros((), C.dtype))
         return ml.em_finalize(
@@ -797,7 +857,10 @@ def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
             mean_prior=mean_prior,
             axis_model=axis_model,
             transform_rows=rows,
+            under_vmap=under_vmap,
         )
+
+    finalize_vmapped = functools.partial(finalize_one, under_vmap=True)
 
     if axis_model is None:
         M, D_loc, k = Cs.shape
@@ -805,11 +868,7 @@ def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
         # The SPD kernel cannot run under vmap, so the M x D_loc per-row
         # solves are flattened into ONE kernel call here and handed to the
         # vmapped finalize via transform_rows (same scaled statistics).
-        if (k > 0
-                and ml._use_kernel(k, M * D_loc, Cs.dtype, None)
-                and (M * D_loc) % 128 == 0):
-            from . import kernels
-
+        if k > 0 and ml._use_kernel(k, 128, Cs.dtype, None, "states"):
             S_sc = stats.S * inv_scale[:, None, None]
             cr_sc = stats.cross * inv_scale[:, None, None]
             # The fused EM path accumulates S with want="fullt" (upper
@@ -817,22 +876,17 @@ def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
             # restore symmetry from the valid lower triangle first.
             S_sq = S_sc.reshape(M * D_loc, k, k)
             S_sq = jnp.tril(S_sq) + jnp.swapaxes(jnp.tril(S_sq, -1), -1, -2)
-            G3 = jnp.transpose(S_sq, (1, 2, 0))
-            lam = jnp.asarray(transformation_precision, Cs.dtype)
-            zeros = jnp.zeros((1, M * D_loc), Cs.dtype)
-            sol_t, _ = kernels.spd_estep(
-                jnp.sqrt(lam), G3, cr_sc.reshape(M * D_loc, k).T,
-                zeros, zeros, want="states",
-            )
-            rows_pre = sol_t.T.reshape(M, D_loc, k)
+            rows_pre = ml._kernel_rows_solve(
+                S_sq, cr_sc.reshape(M * D_loc, k), transformation_precision
+            ).reshape(M, D_loc, k)
         if rows_pre is not None:
-            new_Cs, new_means, new_sigmas = jax.vmap(finalize_one)(
+            new_Cs, new_means, new_sigmas = jax.vmap(finalize_vmapped)(
                 Cs, means, sigmas, stats.cross, stats.S, stats.square_error,
                 stats.dev_sq, stats.total_dev, stats.totals, inv_scale,
                 rows_pre,
             )
         else:
-            new_Cs, new_means, new_sigmas = jax.vmap(finalize_one)(
+            new_Cs, new_means, new_sigmas = jax.vmap(finalize_vmapped)(
                 Cs, means, sigmas, stats.cross, stats.S, stats.square_error,
                 stats.dev_sq, stats.total_dev, stats.totals, inv_scale,
             )

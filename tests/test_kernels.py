@@ -223,10 +223,163 @@ def test_supported_gate():
     assert kernels.supported(100, 8192, jnp.float32)   # k>72 ceiling lifted
     assert kernels.supported(128, 8192, jnp.float32)
     assert kernels.supported(kernels.MAX_K, 8192, jnp.float32)
+    # round 3: the lean configuration extends past the comfortable ceiling
+    assert kernels.supported(256, 8192, jnp.float32)
+    assert not kernels.supported(kernels.max_k("full") + 8, 8192, jnp.float32)
+    assert kernels.supported(kernels.max_k("states"), 8192, jnp.float32, "states")
+    assert kernels.supported(440, 8192, jnp.float32, "llk")
+    assert not kernels.supported(kernels.max_k("llk") + 8, 8192, jnp.float32, "llk")
+    # lighter variants reach higher k (fewer big VMEM buffers)
+    assert kernels.max_k("llk") > kernels.max_k("states") > kernels.max_k("full")
     assert not kernels.supported(0, 8192, jnp.float32)
-    assert not kernels.supported(kernels.MAX_K + 1, 8192, jnp.float32)
     assert not kernels.supported(64, 100, jnp.float32)
     assert not kernels.supported(64, 8192, jnp.float64)
+
+
+def _force_lean(monkeypatch, want, k, T=128):
+    """Shrink the VMEM budget so (want, k) picks the lean configuration."""
+    temps = 24 * (k + 4) * T * 4
+    comfort = kernels._N_COMFORT.get(want, 5) * k * k * T * 4 + temps
+    lean = kernels._N_LEAN.get(want, 3) * k * k * T * 4 + temps
+    assert lean < comfort
+    monkeypatch.setattr(kernels, "VMEM_BUDGET", (comfort + lean) // 2)
+    kernels.spd_estep.clear_cache()
+    kernels.spd_chol.clear_cache()
+
+
+@pytest.mark.parametrize("want", ["llk", "states", "full", "fullt", "infer"])
+def test_kernel_lean_config_matches(rng, monkeypatch, want):
+    """The lean big-k configuration (single-buffered A; SM staged through a
+    VMEM scratch and DMA'd manually) == the comfortable configuration,
+    forced at small k via a shrunken VMEM budget so interpret mode stays
+    fast.  Two lane tiles exercise the per-tile manual output DMA."""
+    B, D, k = 256, 24, 16
+    C = jnp.asarray(rng.normal(size=(D, k)), jnp.float32)
+    mean = jnp.asarray(rng.normal(size=D), jnp.float32)
+    sig = jnp.float32(0.7)
+    data = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, D)) > 0.4)
+    data = jnp.where(mask, data, 0.0)
+    mf = mask.astype(jnp.float32)
+    CC = ml.outer_flat(C)
+    post = ml.block_posterior(C, CC, mean, sig, data, mf)
+    G3 = jnp.transpose(post.G_local.reshape(B, k, k), (1, 2, 0))
+    rnorm = jnp.sum(post.R * post.R, axis=-1)[None, :]
+    dob = jnp.sum(mf, axis=-1)[None, :]
+    args = (sig, G3, post.b.T, rnorm, dob)
+
+    ref = kernels.spd_estep(*args, want=want, interpret=True)
+    _force_lean(monkeypatch, want, k)
+    cfg = kernels._kernel_config(want, k, kernels.LANE)
+    assert cfg[0], "budget shrink must force the lean config"
+    got = kernels.spd_estep(*args, want=want, interpret=True)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+    kernels.spd_estep.clear_cache()
+
+
+def test_spd_chol_lean_config_matches(rng, monkeypatch):
+    k, B = 16, 300
+    V = jnp.asarray(rng.normal(size=(B, k, 2 * k)) / np.sqrt(2 * k), jnp.float32)
+    M = jnp.einsum("bij,bkj->bik", V, V) + 0.1 * jnp.eye(k, dtype=jnp.float32)
+    M3 = jnp.transpose(M, (1, 2, 0))
+    ref = kernels.spd_chol(M3, interpret=True)
+    _force_lean(monkeypatch, "chol", k)
+    assert kernels._kernel_config("chol", k, kernels.LANE)[1]
+    got = kernels.spd_chol(M3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    kernels.spd_chol.clear_cache()
+
+
+@pytest.mark.parametrize("k,B", [(13, 100), (13, 128), (16, 256), (5, 31)])
+@pytest.mark.parametrize("lam", [0.0, 0.3])
+def test_kernel_rows_solve(rng, k, B, lam):
+    """The kernel-routed M-step row solve ((S + lam I) c = cross) matches
+    jnp.linalg.solve for any (B, k), INCLUDING k % 8 != 0 with lam = 0 (the
+    Prior default) — regression test for the padded-diagonal rsqrt(0) NaN
+    that silently froze the transform on TPU."""
+    V = jnp.asarray(rng.normal(size=(B, k, 2 * k)) / np.sqrt(2 * k), jnp.float32)
+    S = jnp.einsum("bij,bkj->bik", V, V) + 0.05 * jnp.eye(k, dtype=jnp.float32)
+    cross = jnp.asarray(rng.normal(size=(B, k)), jnp.float32)
+    got = ml._kernel_rows_solve(S, cross, lam, interpret=True)
+    A = np.asarray(S, np.float64) + lam * np.eye(k)
+    want = np.linalg.solve(A, np.asarray(cross, np.float64)[..., None])[..., 0]
+    assert np.all(np.isfinite(np.asarray(got)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-5)
+
+
+def test_em_finalize_kernel_solve_k_not_multiple_of_8(rng, monkeypatch):
+    """em_finalize's kernel-routed solve == the XLA solve at k % 8 != 0 with
+    transformation_precision = 0 (must NOT take the keep-old-row fallback)."""
+    import functools
+
+    D, k = 100, 13
+    C_old = jnp.asarray(rng.normal(size=(D, k)), jnp.float32)
+    mean = jnp.asarray(rng.normal(size=D), jnp.float32)
+    sig = jnp.float32(0.7)
+    V = jnp.asarray(rng.normal(size=(D, k, 2 * k)) / np.sqrt(2 * k), jnp.float32)
+    S = jnp.einsum("dij,dkj->dik", V, V) + 0.05 * jnp.eye(k, dtype=jnp.float32)
+    stats = ml.EMStats(
+        cross=jnp.asarray(rng.normal(size=(D, k)), jnp.float32),
+        S=S.reshape(D, k * k),
+        square_error=jnp.float32(1.0),
+        dev_sq=jnp.float32(1.0),
+        total_dev=jnp.zeros(D, jnp.float32),
+        totals=jnp.full(D, 7.0, jnp.float32),
+        llk=jnp.float32(0.0),
+    )
+    ref_C, ref_mean, ref_sig = ml.em_finalize(
+        C_old, mean, sig, stats, transformation_precision=0.0
+    )
+    monkeypatch.setattr(ml, "_use_kernel", lambda *a: True)
+    monkeypatch.setattr(
+        kernels, "spd_estep", functools.partial(kernels.spd_estep, interpret=True)
+    )
+    got_C, got_mean, got_sig = ml.em_finalize(
+        C_old, mean, sig, stats, transformation_precision=0.0
+    )
+    # the solve must have produced finite NEW rows, not the old-C fallback
+    assert float(jnp.max(jnp.abs(got_C - C_old))) > 1e-3
+    np.testing.assert_allclose(np.asarray(got_C), np.asarray(ref_C),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got_mean), np.asarray(ref_mean),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mix_em_finalize_kernel_solve_k_not_multiple_of_8(rng, monkeypatch):
+    """Twin regression for mix_em_finalize's flattened kernel solve."""
+    import functools
+
+    from ppca_rs_tpu.ops import mix_fused as mf
+
+    M, D, k = 3, 20, 13
+    Cs_old = jnp.asarray(rng.normal(size=(M, D, k)), jnp.float32)
+    means = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    sigs = jnp.full((M,), 0.7, jnp.float32)
+    V = jnp.asarray(rng.normal(size=(M, D, k, 2 * k)) / np.sqrt(2 * k), jnp.float32)
+    S = jnp.einsum("mdij,mdkj->mdik", V, V) + 0.05 * jnp.eye(k, dtype=jnp.float32)
+    stats = mf.MixEMStats(
+        cross=jnp.asarray(rng.normal(size=(M, D, k)), jnp.float32),
+        S=S.reshape(M, D, k * k),
+        square_error=jnp.ones(M, jnp.float32),
+        dev_sq=jnp.ones(M, jnp.float32),
+        total_dev=jnp.zeros((M, D), jnp.float32),
+        totals=jnp.full((M, D), 7.0, jnp.float32),
+        resp_sum=jnp.ones(M, jnp.float32),
+        resp_max=jnp.full(M, 0.9, jnp.float32),
+        llk=jnp.float32(0.0),
+    )
+    ref = mf.mix_em_finalize(Cs_old, means, sigs, stats,
+                             transformation_precision=0.0)
+    monkeypatch.setattr(ml, "_use_kernel", lambda *a: True)
+    monkeypatch.setattr(
+        kernels, "spd_estep", functools.partial(kernels.spd_estep, interpret=True)
+    )
+    got = mf.mix_em_finalize(Cs_old, means, sigs, stats,
+                             transformation_precision=0.0)
+    assert float(jnp.max(jnp.abs(got[0] - Cs_old))) > 1e-3
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=5e-4, atol=5e-5)
 
 
 def test_kernel_routed_em_stats_matches_xla(rng, monkeypatch):

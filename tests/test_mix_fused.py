@@ -395,3 +395,128 @@ def test_kernel_routed_mix_em_matches_fallback(rng, monkeypatch):
     assert rel(got.resp_sum, ref.resp_sum) < 1e-5
     assert rel(got.resp_max, ref.resp_max) < 1e-5
     assert rel(got.llk, ref.llk) < 1e-5
+
+
+def test_mix_exact_rnorm_envelope(rng):
+    """config.mix_exact_rnorm: at wide component-mean separation the
+    lane-major expanded rnorm quadratic cancels (error ~O(separation^2));
+    the exact-rnorm route computes it from the materialized residual and
+    must track the f64 oracle much more closely (ADVICE round-2 medium)."""
+    import jax.numpy as jnp
+    from ppca_rs_tpu.config import config
+    from ppca_rs_tpu.ops import mix_fused as mf
+
+    M, B, D, k = 2, 256, 64, 4
+    sep = 300.0
+    centers = np.stack([np.full(D, -sep / 2), np.full(D, sep / 2)])
+    comp = rng.integers(0, M, size=B)
+    data_np = centers[comp] + 0.5 * rng.normal(size=(B, D))
+    mask_np = rng.random((B, D)) > 0.3
+    C_np = rng.normal(size=(D, k))
+
+    def stats(dtype, exact):
+        Cs = jnp.asarray(np.tile(C_np, (M, 1, 1)), dtype) * 0.5
+        means = jnp.asarray(centers, dtype)
+        sigmas = jnp.full((M,), 0.5, dtype)
+        lw = jnp.log(jnp.full((M,), 1.0 / M, dtype))
+        data = jnp.asarray(np.where(mask_np, data_np, 0.0), dtype)
+        w = jnp.ones((B,), dtype)
+        old = config.mix_exact_rnorm
+        config.mix_exact_rnorm = exact
+        try:
+            return mf.mix_em_stats(Cs, means, sigmas, lw, data,
+                                   jnp.asarray(mask_np), w, block_size=128)
+        finally:
+            config.mix_exact_rnorm = old
+
+    oracle = stats(jnp.float64, False)
+    fast = stats(jnp.float32, False)
+    exact = stats(jnp.float32, True)
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+
+    err_fast = rel(fast.dev_sq, oracle.dev_sq)
+    err_exact = rel(exact.dev_sq, oracle.dev_sq)
+    # the exact route must be at least 10x closer to f64, and tight in
+    # absolute terms; the fast route's documented envelope is ~1e-3.
+    assert err_exact < 1e-5, err_exact
+    assert err_fast > 10 * err_exact, (err_fast, err_exact)
+    assert rel(exact.llk, oracle.llk) < 1e-6
+
+
+def test_mix_exact_rnorm_pattern_path(rng):
+    """The pattern-table EM with mix_exact_rnorm routes through center=None
+    and still matches the default path on a benign (small-separation) case."""
+    import jax.numpy as jnp
+    from ppca_rs_tpu.config import config
+    from ppca_rs_tpu.ops import mix_fused as mf
+
+    M, B, D, k, P = 2, 64, 16, 3, 4
+    Cs = jnp.asarray(rng.normal(size=(M, D, k)))
+    means = jnp.asarray(rng.normal(size=(M, D)))
+    sigmas = jnp.asarray(0.5 + rng.random(M))
+    lw = jnp.log(jnp.full((M,), 1.0 / M))
+    patterns = jnp.asarray(rng.random((P, D)) > 0.3)
+    pidx = jnp.asarray(rng.integers(0, P, size=B), jnp.int32)
+    data = jnp.asarray(rng.normal(size=(B, D))) * patterns[pidx]
+    w = jnp.ones((B,))
+    mask = patterns[pidx]
+
+    args = (Cs, means, sigmas, lw, data, mask, pidx, patterns, w)
+    ref = mf.mix_em_stats_pat(*args, block_size=64)
+    old = config.mix_exact_rnorm
+    config.mix_exact_rnorm = True
+    try:
+        got = mf.mix_em_stats_pat(*args, block_size=64)
+    finally:
+        config.mix_exact_rnorm = old
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_kernel_routed_mix_readouts_match_fallback(rng, monkeypatch):
+    """The lane-major kernel-routed readout blocks (mix_llks / mix_smooth /
+    the round-3 mix_infer) == the XLA fallback paths, in interpret mode."""
+    import functools
+
+    import jax.numpy as jnp
+    from ppca_rs_tpu.ops import kernels
+    from ppca_rs_tpu.ops import masked_linalg as ml
+    from ppca_rs_tpu.ops import mix_fused as mf
+
+    M, B, D, k = 3, 128, 32, 8
+    Cs = jnp.asarray(rng.normal(size=(M, D, k)), jnp.float32) * 0.5
+    means = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    sigmas = jnp.asarray(0.5 + rng.random(M), jnp.float32)
+    lw = jnp.log(jnp.full((M,), 1.0 / M, jnp.float32))
+    data = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, D)) > 0.4)
+    mask = mask.at[3].set(False)
+    data = jnp.where(mask, data, 0.0)
+
+    args = (Cs, means, sigmas, lw, data, mask)
+    ref_lp, ref_s, ref_cov = mf.mix_infer(*args, block_size=128)
+    ref_sm = mf.mix_smooth(*args, block_size=128)
+    ref_ex = mf.mix_smooth(*args, block_size=128, extrapolate=True)
+
+    monkeypatch.setattr(ml, "_use_kernel", lambda *a: True)
+    monkeypatch.setattr(
+        kernels, "spd_estep", functools.partial(kernels.spd_estep, interpret=True)
+    )
+    got_lp, got_s, got_cov = mf.mix_infer(*args, block_size=128)
+    got_sm = mf.mix_smooth(*args, block_size=128)
+    got_ex = mf.mix_smooth(*args, block_size=128, extrapolate=True)
+
+    np.testing.assert_allclose(np.asarray(got_lp), np.asarray(ref_lp),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_cov), np.asarray(ref_cov),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_sm), np.asarray(ref_sm),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_ex), np.asarray(ref_ex),
+                               rtol=1e-3, atol=1e-3)
