@@ -1,0 +1,71 @@
+"""Worker process for tests/test_distributed.py.
+
+Invoked as: python _distributed_worker.py <process_id> <coordinator_port>
+
+Two of these form a jax.distributed CPU job (4 virtual devices each, 8
+global).  Each worker holds HALF of a deterministic dataset, assembles the
+global sharded Dataset with parallel.distributed.shard_dataset_local, runs
+3 EM iterations + a final llk through the public API, and prints the
+resulting parameters as one JSON line for the parent to compare against a
+single-process reference run.
+"""
+
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+import jax
+
+jax.config.update("jax_enable_x64", True)  # match the parent's test config
+
+import numpy as np
+
+from ppca_rs_tpu import Dataset, PPCAModel
+from ppca_rs_tpu.parallel import distributed, make_mesh
+
+
+def make_global_data(seed=0, n=256, d=16):
+    rng = np.random.default_rng(seed)
+    data = rng.normal(size=(n, d))
+    data[rng.random((n, d)) < 0.3] = np.nan
+    weights = rng.random(n) + 0.5
+    return data, weights
+
+
+def main():
+    pid = int(sys.argv[1])
+    port = int(sys.argv[2])
+    distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8
+
+    data, weights = make_global_data()
+    half = data.shape[0] // 2
+    lo, hi = pid * half, (pid + 1) * half
+    local = Dataset(data[lo:hi], weights=weights[lo:hi])
+
+    mesh = make_mesh()  # all 8 global devices on the data axis
+    ds = distributed.shard_dataset_local(local, mesh)
+    assert distributed.is_initialized()
+
+    model = PPCAModel.init(4, ds, key=jax.random.key(7))
+    for _ in range(3):
+        model = model.iterate(ds)
+    llk = float(model.llk(ds))
+
+    print(json.dumps({
+        "llk": llk,
+        "transform": np.asarray(model.transform).tolist(),
+        "mean": np.asarray(model.mean).tolist(),
+        "sigma": float(model.isotropic_noise),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
