@@ -313,10 +313,21 @@ class PPCAMix:
         """(pidx, patterns) for the mixture's pattern-table path, or None.
         A fully-observed dataset is the trivial single-pattern case — this is
         how dense mixtures get a fast path (the single-model dense path is
-        ops/dense_fast.py; mixtures share the table machinery instead)."""
-        from ..parallel.mesh import dataset_mesh
+        ops/dense_fast.py; mixtures share the table machinery instead).
 
-        if dataset_mesh(dataset) is not None:
+        Data-axis-sharded datasets are allowed (pattern_info shards pidx
+        with the rows; the inference verbs have *_pat shard_map twins);
+        model-axis sharding and multi-process arrays are demoted inside
+        pattern_info itself.  The sharded EM dispatch does not consult this
+        (mixture EM tables are unsharded-only for now)."""
+        from ..parallel.mesh import MODEL_AXIS, dataset_mesh
+
+        mesh = dataset_mesh(dataset)
+        if (
+            mesh is not None
+            and MODEL_AXIS in mesh.axis_names
+            and mesh.shape[MODEL_AXIS] > 1
+        ):
             return None
         return dataset.pattern_info(include_dense=True)
 
@@ -413,18 +424,21 @@ class PPCAMix:
         return InferredMaskedMix(self, log_post, list(inferred))
 
     def infer(self, dataset: Dataset) -> "InferredMaskedMix":
-        from ..parallel.mesh import dataset_mesh
+        from ..parallel.mesh import MODEL_AXIS, dataset_mesh
 
         n = len(dataset)
-        if dataset_mesh(dataset) is None:
-            # ONE fused pass for responsibilities AND every component's
-            # posterior (vs the reference's M llks + M infer passes,
-            # mix.rs:205-236).  Heterogeneous state sizes ride the same pass
-            # zero-padded; each component's readout slices back to its k.
-            Cs, means, sigmas = self._stacked_params()
-            block = self._mix_block(dataset, None)
-            pat = self._pattern(dataset)
-            with _precision(self._output_size):
+        # ONE fused pass for responsibilities AND every component's
+        # posterior (vs the reference's M llks + M infer passes,
+        # mix.rs:205-236) — sharded datasets run the identical pass under
+        # shard_map (round 3; previously a per-component fallback of M+1
+        # device programs).  Heterogeneous state sizes ride the same pass
+        # zero-padded; each component's readout slices back to its k.
+        mesh = dataset_mesh(dataset)
+        Cs, means, sigmas = self._stacked_params()
+        block = self._mix_block(dataset, mesh)
+        pat = self._pattern(dataset)
+        with _precision(self._output_size):
+            if mesh is None:
                 if pat is not None:
                     log_post, states, covs = _mix_infer_pat_jit(
                         Cs, means, sigmas, self._log_weights,
@@ -435,53 +449,77 @@ class PPCAMix:
                         Cs, means, sigmas, self._log_weights,
                         dataset.data, dataset.mask, block,
                     )
-            inferred = [
-                InferredMasked(m, states[i, :n, : m.state_size],
-                               covs[i, :n, : m.state_size, : m.state_size])
-                for i, m in enumerate(self._models)
-            ]
-            return InferredMaskedMix(self, log_post[:n], inferred)
-        per = self._component_llks(dataset)
-        log_post = _log_softmax_jit(per + self._log_weights[None, :])[:n]
-        inferred = [m.infer(dataset) for m in self._models]
-        return InferredMaskedMix(self, log_post, inferred)
+            else:
+                from ..parallel.api import fns_for
+
+                use_model = (
+                    MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
+                )
+                fns = fns_for(mesh, use_model)
+                if pat is not None:
+                    log_post, states, covs = fns["mix_infer_pat"](
+                        Cs, means, sigmas, self._log_weights,
+                        dataset.data, dataset.mask, *pat, block,
+                    )
+                else:
+                    log_post, states, covs = fns["mix_infer"](
+                        Cs, means, sigmas, self._log_weights,
+                        dataset.data, dataset.mask, block,
+                    )
+        inferred = [
+            InferredMasked(m, states[i, :n, : m.state_size],
+                           covs[i, :n, : m.state_size, : m.state_size])
+            for i, m in enumerate(self._models)
+        ]
+        return InferredMaskedMix(self, log_post[:n], inferred)
 
     def _smooth_fused(self, dataset: Dataset, extrapolate: bool):
-        from ..parallel.mesh import dataset_mesh
+        from ..parallel.mesh import MODEL_AXIS, dataset_mesh
 
-        if dataset_mesh(dataset) is not None:
-            return None
+        mesh = dataset_mesh(dataset)
         Cs, means, sigmas = self._stacked_params()
-        block = self._mix_block(dataset, None)
+        block = self._mix_block(dataset, mesh)
         pat = self._pattern(dataset)
         with _precision(self._output_size):
-            if pat is not None:
-                out = _mix_smooth_pat_jit(
-                    Cs, means, sigmas, self._log_weights,
-                    dataset.data, dataset.mask, *pat, block, extrapolate,
-                )
+            if mesh is None:
+                if pat is not None:
+                    out = _mix_smooth_pat_jit(
+                        Cs, means, sigmas, self._log_weights,
+                        dataset.data, dataset.mask, *pat, block, extrapolate,
+                    )
+                else:
+                    out = _mix_smooth_jit(
+                        Cs, means, sigmas, self._log_weights,
+                        dataset.data, dataset.mask, block, extrapolate,
+                    )
             else:
-                out = _mix_smooth_jit(
-                    Cs, means, sigmas, self._log_weights,
-                    dataset.data, dataset.mask, block, extrapolate,
+                from ..parallel.api import fns_for
+
+                use_model = (
+                    MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
                 )
+                fns = fns_for(mesh, use_model)
+                if pat is not None:
+                    out = fns["mix_smooth_pat"](
+                        Cs, means, sigmas, self._log_weights,
+                        dataset.data, dataset.mask, *pat, block, extrapolate,
+                    )
+                else:
+                    out = fns["mix_smooth"](
+                        Cs, means, sigmas, self._log_weights,
+                        dataset.data, dataset.mask, block, extrapolate,
+                    )
         return Dataset.unmasked(out[: len(dataset)])
 
     def smooth(self, dataset: Dataset) -> Dataset:
         """Posterior-weighted mixture of component smoothings
-        (`mix.rs:239-251`); one fused end-to-end pass when unsharded."""
-        fused = self._smooth_fused(dataset, extrapolate=False)
-        if fused is not None:
-            return fused
-        return self.infer(dataset).smoothed(self)
+        (`mix.rs:239-251`); one fused end-to-end pass, sharded or not."""
+        return self._smooth_fused(dataset, extrapolate=False)
 
     def extrapolate(self, dataset: Dataset) -> Dataset:
         """Posterior-weighted mixture of component extrapolations
-        (`mix.rs:253-265`); one fused end-to-end pass when unsharded."""
-        fused = self._smooth_fused(dataset, extrapolate=True)
-        if fused is not None:
-            return fused
-        return self.infer(dataset).extrapolated(self, dataset)
+        (`mix.rs:253-265`); one fused end-to-end pass, sharded or not."""
+        return self._smooth_fused(dataset, extrapolate=True)
 
     # ------------------------------------------------------------------ #
     # EM (mix.rs:267-337)

@@ -185,3 +185,62 @@ def test_padded_dataset_readouts(rng):
     minf = mix.infer(sds)
     assert minf.extrapolated(mix, sds).numpy().shape == (101, 8)
     assert minf.extrapolated_covariances_diagonal(mix, sds).numpy().shape == (101, 8)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_mixture_inference_fused(rng, mesh_shape):
+    """Sharded mixture infer/smooth/extrapolate run the SAME fused one-pass
+    verbs under shard_map (round 3; previously a per-component fallback of
+    M+1 device programs) and agree with the unsharded path."""
+    _, ds = make_data(rng, n=101, d=8, k=2)
+    mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+    sds = shard_dataset(ds, mesh)
+    mix = PPCAMix.init(3, 2, ds, key=jax.random.PRNGKey(3))
+
+    inf_s = mix.infer(sds)
+    inf_d = mix.infer(ds)
+    np.testing.assert_allclose(
+        np.asarray(inf_s.log_posteriors()), np.asarray(inf_d.log_posteriors()),
+        rtol=1e-8, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(inf_s.states()), np.asarray(inf_d.states()),
+        rtol=1e-7, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        mix.smooth(sds).numpy(), mix.smooth(ds).numpy(), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        mix.extrapolate(sds).numpy(), mix.extrapolate(ds).numpy(),
+        rtol=1e-8, atol=1e-10,
+    )
+
+
+def test_sharded_mixture_inference_pattern(rng):
+    """Data-axis-sharded mixture inference with few mask patterns routes
+    through the sharded *_pat fused verbs and matches unsharded."""
+    n, d, k, P = 101, 8, 2, 3
+    pats = rng.random((P, d)) > 0.3
+    pats[:, 0] = True
+    pidx = rng.integers(0, P, size=n)
+    data = rng.normal(size=(n, d))
+    data = np.where(pats[pidx], data, np.nan)
+    ds = Dataset(data)
+    mesh = make_mesh(data=8, model=1)
+    sds = shard_dataset(ds, mesh)
+    mix = PPCAMix.init(2, k, ds, key=jax.random.PRNGKey(5))
+
+    assert sds.pattern_info() is not None  # the sharded table path is live
+    inf_s = mix.infer(sds)
+    inf_d = mix.infer(ds)
+    np.testing.assert_allclose(
+        np.asarray(inf_s.log_posteriors()), np.asarray(inf_d.log_posteriors()),
+        rtol=1e-8, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        mix.smooth(sds).numpy(), mix.smooth(ds).numpy(), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        mix.extrapolate(sds).numpy(), mix.extrapolate(ds).numpy(),
+        rtol=1e-8, atol=1e-10,
+    )
