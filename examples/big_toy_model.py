@@ -7,6 +7,7 @@ posterior solves + M-step statistics + llk in a single pass over the data),
 so after the first compiled step the loop runs at device speed.
 """
 
+import os
 import time
 
 import jax
@@ -15,6 +16,8 @@ import numpy as np
 from ppca_rs_tpu import PPCAModel, PPCATrainer, TrainMetrics
 
 D, K, N, ITERS = 200, 16, 100_000, 24
+if os.environ.get("PPCA_EXAMPLE_SMOKE"):  # CPU CI smoke (tests/test_examples.py)
+    N, ITERS = 4_000, 4
 
 rng = np.random.default_rng(42)
 print(f"synthesizing a rank-{K} ground truth over {D} dims")

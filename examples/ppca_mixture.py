@@ -11,7 +11,7 @@ iteration, so cost grows mildly with M.
 import jax
 import numpy as np
 
-from ppca_rs_tpu import Dataset, PPCAMixTrainer
+from ppca_rs_tpu import Dataset, PPCAMix, PPCAMixTrainer, PPCAModel
 
 rng = np.random.default_rng(3)
 D, K = 6, 2
@@ -23,12 +23,16 @@ centers = np.array(
     ]
 )
 
+# 250 samples per cluster: enough that BIC's ln(N) penalty decisively
+# rejects a spurious 4th component on every platform/precision (at 120 the
+# M=3 vs M=4 call was within a whisker and flipped between f32 and f64).
+PER = 250
 rows, labels = [], []
 for c, center in enumerate(centers):
     loading = rng.normal(size=(D, K))
-    z = rng.normal(size=(120, K))
-    rows.append(z @ loading.T + center + 0.3 * rng.normal(size=(120, D)))
-    labels.extend([c] * 120)
+    z = rng.normal(size=(PER, K))
+    rows.append(z @ loading.T + center + 0.3 * rng.normal(size=(PER, D)))
+    labels.extend([c] * PER)
 data = np.concatenate(rows)
 labels = np.array(labels)
 
@@ -36,16 +40,41 @@ labels = np.array(labels)
 data[rng.random(data.shape) < 0.15] = np.nan
 dataset = Dataset(data)
 
+# EM is a local optimizer, and the default init (every component mean at
+# 0, reference parity with `mix.rs:76-83`) reliably traps mixtures whose
+# clusters sit far from the origin.  Standard practice: seed component
+# means from random data rows and take the best of a few restarts.
+filled = np.where(np.isfinite(data), data, 0.0)
+
+
+def seeded_start(m, seed):
+    r = np.random.default_rng(seed)
+    comps = [
+        PPCAModel(
+            isotropic_noise=1.0,
+            transform=0.1 * r.normal(size=(D, K)),
+            mean=filled[r.integers(0, len(filled))],
+        )
+        for _ in range(m)
+    ]
+    return PPCAMix(comps, np.zeros(m))
+
+
 fits = {}
 for m in (1, 2, 3, 4):
     print(f"--- fitting M={m} ---")
-    mix = PPCAMixTrainer(dataset).train(
-        n_models=m, state_size=K, n_iters=40, metric="bic",
-        key=jax.random.PRNGKey(m), quiet=True,
-    )
-    bic = float(mix.llk(dataset)) - mix.n_parameters * np.log(len(dataset))
-    fits[m] = (mix, bic)
-    print(f"M={m}: llk/sample={float(mix.llk(dataset)) / len(dataset):.3f} "
+    best_fit, best_llk = None, -np.inf
+    for restart in range(3):
+        mix = PPCAMixTrainer(dataset).train(
+            start=seeded_start(m, 1000 * m + restart),
+            n_models=m, state_size=K, n_iters=40, metric="bic", quiet=True,
+        )
+        llk = float(mix.llk(dataset))
+        if llk > best_llk:
+            best_fit, best_llk = mix, llk
+    bic = best_llk - best_fit.n_parameters * np.log(len(dataset))
+    fits[m] = (best_fit, bic)
+    print(f"M={m}: llk/sample={best_llk / len(dataset):.3f} "
           f"bic={bic / len(dataset):.3f}")
 
 best_m = max(fits, key=lambda m: fits[m][1])

@@ -9,6 +9,7 @@ faster end-to-end on TPU at P=32, D=1024, k=64.  Mixtures use M x P tables
 the same way (a fully-observed dataset is the P=1 case).
 """
 
+import os
 import time
 
 import jax
@@ -19,6 +20,8 @@ from ppca_rs_tpu.config import config
 
 rng = np.random.default_rng(99)
 N, D, K = 100_000, 256, 16
+if os.environ.get("PPCA_EXAMPLE_SMOKE"):  # CPU CI smoke (tests/test_examples.py)
+    N, D = 6_000, 64
 
 # Three "instrument versions", each observing a different fixed subset of
 # the D channels.
