@@ -38,16 +38,6 @@ class Config:
     #: Use the native C++ host-side packing extension when available.
     use_native: bool = True
 
-    #: EXPERIMENTAL: use the fully-fused EM megakernel (ops/estep_fused.py)
-    #: for em_stats on TPU — every matmul of the E+M pass inside one
-    #: software-pipelined Pallas program.  Default False: measured SLOWER
-    #: than the split kernel+XLA path on v5e (2.44M vs 2.78M samples/s at
-    #: D=1024, k=64, 50% missing) because Mosaic serializes the pipeline
-    #: stages instead of overlapping MXU and VPU work, while XLA's matmul
-    #: phase already runs at MXU speed-of-light.  Kept (tested, correct)
-    #: as the starting point if a scheduling-hint path opens up.
-    use_fused_estep: bool = False
-
     #: Compute the fused mixture EM's per-component residual norms from a
     #: materialized (M, block, D) residual instead of the lane-major expanded
     #: quadratic |md0|^2 - 2 md0.dm + mask.dm^2.  The expanded form's f32
@@ -80,8 +70,6 @@ if os.environ.get("PPCA_RS_TPU_NO_PALLAS"):
     config.use_pallas = False
 if os.environ.get("PPCA_RS_TPU_NO_NATIVE"):
     config.use_native = False
-if os.environ.get("PPCA_RS_TPU_FUSED_ESTEP"):
-    config.use_fused_estep = True
 if os.environ.get("PPCA_RS_TPU_MIX_EXACT_RNORM"):
     config.mix_exact_rnorm = True
 if os.environ.get("PPCA_RS_TPU_MATMUL_PRECISION"):

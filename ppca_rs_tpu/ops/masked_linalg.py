@@ -441,18 +441,6 @@ def em_stats(
     dtype = compute_dtype(data.dtype, C.dtype)
     CC = outer_flat(C)
     use_kernel = _use_kernel(k, block_size, dtype, axis_model, "fullt")
-    use_fused = False
-    if use_kernel:
-        from ..config import config
-        from . import estep_fused
-
-        use_fused = config.use_fused_estep and estep_fused.supported(
-            C.shape[0], k, block_size, dtype
-        )
-    if use_fused:
-        Ct = C.T
-        CCt = CC.T
-        mean_row = mean[None, :]
     _, (data3, mask3, w2) = _pad_blocks(n, block_size, data, mask, weights)
 
     def body(acc, xs):
@@ -460,16 +448,6 @@ def em_stats(
         datab = datab.astype(dtype)
         w = w.astype(dtype)
         mask_f = maskb.astype(dtype)
-        if use_fused:
-            from . import estep_fused
-
-            cross_t, S_t, totals, tdev, llk, sq_err, dev_sq = estep_fused.em_block(
-                C, Ct, CCt, mean_row, sigma, w, datab, mask_f
-            )
-            return (
-                (acc[0] + cross_t, acc[1] + S_t),
-                (sq_err, dev_sq, tdev, totals, llk),
-            )
         if use_kernel:
             s_t, SM3, llk_b, sq_b, b_t, rn, R, dob = _kernel_block(
                 C, CC, mean, sigma, datab, mask_f
@@ -524,15 +502,8 @@ def em_stats(
     # terms); the scalar and (D,)-vector statistics are stacked per block and
     # tree-reduced by jnp.sum, keeping the dataset llk accurate at 10M+
     # samples in f32.
-    if use_fused:
-        # the fused kernel accumulates in (k, D) / (k*k, D) orientation;
-        # transpose once after the scan
-        zero = (jnp.zeros((k, C.shape[0]), dtype), jnp.zeros((k * k, C.shape[0]), dtype))
-    else:
-        zero = (jnp.zeros(C.shape, dtype), jnp.zeros((C.shape[0], k * k), dtype))
+    zero = (jnp.zeros(C.shape, dtype), jnp.zeros((C.shape[0], k * k), dtype))
     (cross, S), small = lax.scan(body, zero, (data3, mask3, w2))
-    if use_fused:
-        cross, S = cross.T, S.T
     square_error, dev_sq, total_dev, totals, llk = (
         jnp.sum(x, axis=0) for x in small
     )
