@@ -36,7 +36,8 @@ def main():
     model = PPCAModel.init(2, ds, key=key)
     # compile the 10-iteration scan with a different init (same program,
     # different operands — the remote dispatch caches results per args)
-    PPCAModel.init(2, ds, key=jax.random.PRNGKey(99)).iterate_n(ds, 10)
+    wm, _ = PPCAModel.init(2, ds, key=jax.random.PRNGKey(99)).iterate_n(ds, 10)
+    jax.block_until_ready(wm._transform)
     t0 = time.perf_counter()
     model, llks = model.iterate_n(ds, 10)
     jax.block_until_ready(model._transform)
@@ -111,7 +112,8 @@ def main():
     kdata, kmask = genk()
     kds = Dataset.from_parts(kdata, kmask)
     kmodel = PPCAModel.init(k, kds, key=jax.random.PRNGKey(32))
-    PPCAModel.init(k, kds, key=jax.random.PRNGKey(33)).iterate_n(kds, 3)
+    wm, _ = PPCAModel.init(k, kds, key=jax.random.PRNGKey(33)).iterate_n(kds, 3)
+    jax.block_until_ready(wm._transform)
     t0 = time.perf_counter()
     kmodel, _ = kmodel.iterate_n(kds, 3)
     jax.block_until_ready(kmodel._transform)
@@ -119,6 +121,35 @@ def main():
     rows.append((f"masked EM at k=128 (D={D}, N=262k, 50% missing, Pallas kernel)",
                  f"{dt / 3:.3f}s/iter", f"{N * 3 / dt:,.0f} samples/s"))
     del kds, kmodel, kdata, kmask
+
+    # 3a'. k=192 (comfortable-config ceiling) and k=256 (lean big-k config:
+    # single-buffered A, manual SM DMA) — the k>192 cliff rows.  The
+    # per-sample kernel cost scales ~k^3; 'within ~3x the per-flop cost of
+    # k=128' means time/sample <= ~3 * (k/128)^3 * k=128's.
+    for kbig, nbig, it in ((192, 131_072, 3), (256, 131_072, 2)):
+        kb = jax.random.split(jax.random.PRNGKey(40 + kbig), 4)
+
+        @jax.jit
+        def genb():
+            C = jax.random.normal(kb[0], (1024, kbig), dtype=jnp.float32)
+            z = jax.random.normal(kb[1], (nbig, kbig), dtype=jnp.float32)
+            eps = jax.random.normal(kb[2], (nbig, 1024), dtype=jnp.float32)
+            data = z @ C.T + 0.5 * eps
+            mask = jax.random.bernoulli(kb[3], 0.5, (nbig, 1024))
+            return jnp.where(mask, data, 0.0), mask
+
+        bdata, bmask = genb()
+        bds = Dataset.from_parts(bdata, bmask)
+        bmodel = PPCAModel.init(kbig, bds, key=jax.random.PRNGKey(41))
+        wm, _ = PPCAModel.init(kbig, bds, key=jax.random.PRNGKey(42)).iterate_n(bds, it)
+        jax.block_until_ready(wm._transform)
+        t0 = time.perf_counter()
+        bmodel, _ = bmodel.iterate_n(bds, it)
+        jax.block_until_ready(bmodel._transform)
+        dt = time.perf_counter() - t0
+        rows.append((f"masked EM at k={kbig} (D=1024, N=131k, 50% missing)",
+                     f"{dt / it:.3f}s/iter", f"{nbig * it / dt:,.0f} samples/s"))
+        del bds, bmodel, bdata, bmask
 
     # 3b. Dense fully-observed at the flagship shape ------------------------
     N, D, k = 1_000_000, 1024, 64
@@ -135,7 +166,8 @@ def main():
     assert dds_full.all_observed()
     dmodel = PPCAModel.init(k, dds_full, key=jax.random.PRNGKey(22))
     # warm the exact scan with a different init (results cache per args)
-    PPCAModel.init(k, dds_full, key=jax.random.PRNGKey(23)).iterate_n(dds_full, 5)
+    wm, _ = PPCAModel.init(k, dds_full, key=jax.random.PRNGKey(23)).iterate_n(dds_full, 5)
+    jax.block_until_ready(wm._transform)
     t0 = time.perf_counter()
     dmodel, _ = dmodel.iterate_n(dds_full, 5)
     jax.block_until_ready(dmodel._transform)
@@ -186,8 +218,9 @@ def main():
     )
     # compile the exact 10-iteration scan program with a different init key
     # (same program, different operands — remote results are cached per args)
-    PPCATrainer(dds).train(state_size=8, n_iters=10, prior=prior,
-                           quiet=True, key=jax.random.PRNGKey(98))
+    wm = PPCATrainer(dds).train(state_size=8, n_iters=10, prior=prior,
+                                quiet=True, key=jax.random.PRNGKey(98))
+    jax.block_until_ready(wm._transform)
     t0 = time.perf_counter()
     model = PPCATrainer(dds).train(state_size=8, n_iters=10, prior=prior,
                                    quiet=True, key=jax.random.PRNGKey(8))
@@ -226,6 +259,47 @@ def main():
     rows.append((f"structured missingness, P={Pn} patterns dedup "
                  f"(D={D}, k={k}, N=1M, 50% missing; detect {detect:.1f}s once)",
                  f"{dt / iters:.3f}s/iter", f"{N * iters / dt:,.0f} samples/s"))
+
+    # 7. Large-N single-chip headline with bf16 storage ---------------------
+    # The north-star config is 10M rows at D=1024 on a v5e-8; a single v5e's
+    # 16 GB HBM caps bf16-stored data (2 B/entry) + bool mask (1 B/entry) at
+    # ~N=4M for D=1024.  This measured big-N point anchors the 8-chip
+    # extrapolation (the data axis is embarrassingly parallel; EM statistics
+    # are a psum of D x k^2 partials).
+    N, D, k = 4_000_000, 1024, 64
+    CH = 250_000  # generate in chunks: a whole-N f32 eps would be 16 GB alone
+    kh = jax.random.split(jax.random.PRNGKey(60), 2)
+
+    @jax.jit
+    def genh():
+        C = jax.random.normal(kh[0], (D, k), dtype=jnp.float32)
+
+        def chunk(key):
+            kz, ke, km = jax.random.split(key, 3)
+            z = jax.random.normal(kz, (CH, k), dtype=jnp.float32)
+            eps = jax.random.normal(ke, (CH, D), dtype=jnp.float32)
+            d = (z @ C.T + 0.5 * eps).astype(jnp.bfloat16)
+            m = jax.random.bernoulli(km, 0.5, (CH, D))
+            return jnp.where(m, d, 0), m
+
+        ds, ms = jax.lax.map(chunk, jax.random.split(kh[1], N // CH))
+        return ds.reshape(N, D), ms.reshape(N, D)
+
+    try:
+        hdata, hmask = genh()
+        hds = Dataset.from_parts(hdata, hmask)
+        hmodel = PPCAModel.init(k, hds, key=jax.random.PRNGKey(61))
+        wm, _ = PPCAModel.init(k, hds, key=jax.random.PRNGKey(62)).iterate_n(hds, 2)
+        jax.block_until_ready(wm._transform)
+        t0 = time.perf_counter()
+        hmodel, _ = hmodel.iterate_n(hds, 2)
+        jax.block_until_ready(hmodel._transform)
+        dt = time.perf_counter() - t0
+        rows.append((f"headline at N=4M, bf16 storage (D={D}, k={k}, 50% missing)",
+                     f"{dt / 2:.3f}s/iter", f"{N * 2 / dt:,.0f} samples/s"))
+        del hds, hmodel, hdata, hmask
+    except Exception as e:  # HBM-capacity guard: report instead of dying
+        rows.append((f"headline at N=4M bf16 (D={D}, k={k})", "OOM/err", str(e)[:60]))
 
     log("\n| config | time | throughput |")
     log("|---|---|---|")
