@@ -17,39 +17,83 @@ static ``concat``.
 
 from __future__ import annotations
 
+import functools
 from typing import Iterator, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .utils.serialization import dump_bytes, load_bytes
 from .native import packing as _packing
 
 
-@jax.jit
-def _row_hashes_jit(mask):
-    """Two independent 32-bit polynomial hashes of each mask row, folded over
-    the packed bytes on-device — so pattern detection ships 8 bytes per row
-    to the host instead of D bits."""
-    pk = jnp.packbits(mask, axis=1).astype(jnp.int32)   # (N, ceil(D/8))
-    m1 = jnp.asarray(-1640531527, jnp.int32)            # 0x9E3779B9
-    m2 = jnp.asarray(-2048144789, jnp.int32)            # 0x85EBCA6B
-    n = pk.shape[0]
+@functools.lru_cache(maxsize=16)
+def _hash_powers(d: int) -> np.ndarray:
+    """(d, 2) int32 matrix of [m^(d-1), ..., m, 1] mod 2^32 (wrapped to
+    two's-complement) for two independent multipliers."""
+    cols = []
+    for m in (0x9E3779B9, 0x85EBCA6B):
+        p = [pow(m, d - 1 - j, 1 << 32) for j in range(d)]
+        cols.append([x - (1 << 32) if x >= (1 << 31) else x for x in p])
+    return np.asarray(cols, dtype=np.int32).T
 
-    def fold(carry, col):
-        h1, h2 = carry
-        return (h1 * m1 + col, h2 * m2 + col), None
 
-    init = (jnp.zeros((n,), jnp.int32), jnp.ones((n,), jnp.int32))
-    (h1, h2), _ = jax.lax.scan(fold, init, pk.T)
-    return jnp.stack([h1, h2], axis=1)
+def _row_hashes(mask):
+    """Two independent 32-bit polynomial hashes of each mask row — so pattern
+    detection ships 8 bytes per row to the host instead of D bits.
+
+    The polynomial fold h = ((b_0 m + b_1) m + ...) is evaluated as ONE s32
+    matmul sum_j b_j m^(D-1-j): s32 dot wraps mod 2^32 exactly like the fold
+    (verified against a numpy u64 reference), and the single-matmul program
+    compiles in <1 s where a D-step lax.scan took ~9 s and a device
+    sort-based ranking ~30 s through the remote-compile path."""
+    return mask.astype(jnp.int32) @ jnp.asarray(_hash_powers(mask.shape[1]))
+
+
+_row_hashes_jit = jax.jit(_row_hashes)
 
 
 def _combine_hashes(h: np.ndarray) -> np.ndarray:
     """(N, 2) int32 -> (N,) uint64 for host-side unique."""
     u = np.ascontiguousarray(h).view(np.uint32)
     return (u[:, 0].astype(np.uint64) << np.uint64(32)) | u[:, 1].astype(np.uint64)
+
+
+def _pattern_counts(pidx, mask, *, P):
+    """Per-(hash-group, column) observed counts and group sizes, blocked
+    over rows so the one-hot temporary stays bounded.
+
+    The matmul is exact: 0/1 inputs and each block's f32 accumulation is an
+    integer <= the block size < 2^24; blocks are summed in int32.  Rows of
+    the final (clamped) block that earlier blocks already counted are routed
+    to a scratch group P that is dropped on return.  The block size bounds
+    BOTH f32 temporaries — the (step, P+1) one-hot and the (step, d) cast
+    mask — at ~256 MB (P can reach config.pattern_max=4096, where a 2^20
+    block's one-hot alone would be 16 GB)."""
+    n, d = mask.shape
+    step = min(n, max(8192, (1 << 26) // max(d, P + 1)))
+    nb = -(-n // step)
+    starts = jnp.arange(nb, dtype=jnp.int32) * step
+    iota = jnp.arange(step, dtype=jnp.int32)
+
+    def body(carry, start):
+        actual = jnp.minimum(start, n - step)  # dynamic_slice clamps likewise
+        pb = lax.dynamic_slice(pidx, (actual,), (step,))
+        mb = lax.dynamic_slice_in_dim(mask, actual, step, 0)
+        pb = jnp.where(iota >= start - actual, pb, P)  # already-counted rows
+        ob = jax.nn.one_hot(pb, P + 1, dtype=jnp.float32)
+        c = lax.dot_general(ob, mb.astype(jnp.float32), (((0,), (0,)), ((), ())))
+        s = jnp.sum(ob, axis=0)
+        return (carry[0] + c.astype(jnp.int32), carry[1] + s.astype(jnp.int32)), None
+
+    zero = (jnp.zeros((P + 1, d), jnp.int32), jnp.zeros((P + 1,), jnp.int32))
+    (cnt, sz), _ = lax.scan(body, zero, starts)
+    return cnt[:P], sz[:P]
+
+
+_pattern_counts_jit = jax.jit(_pattern_counts, static_argnames=("P",))
 
 
 class _WeightsView(np.ndarray):
@@ -207,14 +251,15 @@ class Dataset:
         arrays with ``mask[n] == patterns[pattern_idx[n]]``.
 
         Detection minimizes host traffic: rows are reduced on-device to a
-        pair of independent 32-bit polynomial hashes over the packed mask
-        bytes (8 bytes per row leave the device instead of D bits), the
-        hashes are uniqued on the host, and the resulting assignment is then
-        verified EXACTLY on-device (``patterns[idx] == mask`` blockwise) — a
-        hash collision can therefore never mis-group rows, it only demotes
-        the dataset to the general path.  For large datasets a prefix sample
-        of hashes is checked first so unstructured (all-rows-distinct) masks
-        only ever pay for the sample.  The result is cached; ``with_weights``
+        pair of independent 32-bit polynomial hashes (one exact s32 matmul —
+        8 bytes per row leave the device instead of D bits), the hashes are
+        uniqued on the host, and the resulting assignment is then verified
+        EXACTLY on-device (per-group per-column observed counts via a
+        one-hot matmul must all be 0 or the group size, which also yields
+        the pattern table itself) — a hash collision can therefore never
+        mis-group rows, it only demotes the dataset to the general path.
+        Measured cost at N=1M, D=1024 on a v5e: ~0.5 s warm, ~3 s with
+        cold compile caches.  The result is cached; ``with_weights``
         and ``astype`` share the cache (same mask).  The config gate is
         re-checked on every call, so toggling ``config.use_pattern_dedup``
         takes effect even for datasets with already-cached patterns.
@@ -240,69 +285,148 @@ class Dataset:
                 )
                 return self._patterns
             return None  # uncached: a later include_dense call may want it
-        # Data-axis sharding is supported: the hashes compute distributed,
-        # the (tiny) unique runs on the host, pidx is placed with the row
-        # sharding and the pattern table is replicated.  Column (model-axis)
-        # sharding keeps the general path (tables would need a D-psum).
-        # Multi-PROCESS arrays are excluded: the host-side unique would need
-        # a process_allgather of the hashes and a per-process rebuild of
-        # pidx; until that exists, multi-host datasets take the general path
-        # (correct, just without the dedup speedup).
+        # Data-axis sharding is supported: the hash/verify programs run
+        # distributed, pidx is placed with the row sharding and the pattern
+        # table is replicated.  Column (model-axis) sharding keeps the
+        # general path (tables would need a D-psum).  Multi-PROCESS arrays
+        # need the explicit COLLECTIVE entry point `detect_patterns()` —
+        # pattern_info is a host-local lazy call that other processes may
+        # reach at different times, so it cannot launch collectives; without
+        # a prior detect_patterns() a multi-host dataset takes the general
+        # path (correct, just without the dedup speedup).
         if jax.process_count() > 1:
             self._patterns = False
             return None
         sharded = len(self.mask.sharding.device_set) > 1
+        mesh = None
         if sharded:
             shard_shape = self.mask.sharding.shard_shape(self.mask.shape)
             if shard_shape[1] != self.mask.shape[1]:
                 self._patterns = False
                 return None
+            mesh = self.mask.sharding.mesh
+        self._detect(mesh)
+        return self._patterns or None
 
+    def detect_patterns(self, include_dense: bool = False):
+        """Explicitly run pattern detection now; REQUIRED for multi-process
+        (`jax.distributed`) datasets, optional (equivalent to
+        :meth:`pattern_info`) everywhere else.
+
+        The detection programs are collectives over the global mask, so in a
+        multi-process job EVERY process must call this at the same point
+        (before training starts); the grouping is then cached and later
+        ``pattern_info()`` calls are host-local, which lets the ``*_pat``
+        fast-path verbs engage exactly as in the single-process case.
+        Returns ``(pattern_idx, patterns)`` or ``None`` like
+        :meth:`pattern_info`."""
+        from .config import config
+
+        if jax.process_count() <= 1:
+            return self.pattern_info(include_dense=include_dense)
+        if not config.use_pattern_dedup:
+            return None
+        if self._patterns is not None:
+            return self._patterns or None
+        n = self.padded_len
+        if self.is_empty() or n < 2 * config.pattern_min_ratio:
+            self._patterns = False
+            return None
+        if self._all_observed is None:
+            # all_observed()'s eager reduction is not legal on a
+            # non-fully-addressable global array; jit it (replicated scalar)
+            observed = int(jax.jit(jnp.sum)(self.mask))
+            self._all_observed = observed == len(self) * int(self.data.shape[1])
+        if self.all_observed():
+            if include_dense:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                mesh = self.mask.sharding.mesh
+                # pin shardings: plain jnp arrays would be process-local and
+                # could not mix with the global data downstream
+                self._patterns = (
+                    jax.device_put(
+                        np.zeros((n,), np.int32), self.weights_dev.sharding
+                    ),
+                    jax.device_put(
+                        np.ones((1, int(self.data.shape[1])), bool),
+                        NamedSharding(mesh, PartitionSpec(None, None)),
+                    ),
+                )
+                return self._patterns
+            return None
+        shard_shape = self.mask.sharding.shard_shape(self.mask.shape)
+        if shard_shape[1] != self.mask.shape[1]:
+            self._patterns = False
+            return None
+        self._detect(self.mask.sharding.mesh)
+        return self._patterns or None
+
+    def _detect(self, mesh):
+        """Shared detection body.  ``mesh`` is None for plain single-device
+        data; otherwise the rows' NamedSharding mesh (single- OR
+        multi-process), and every device program pins replicated/row-sharded
+        output shardings so the host-side steps below see fully-addressable
+        arrays in either case."""
+        from .config import config
+
+        n = self.padded_len
         p_cap = min(config.pattern_max, n // config.pattern_min_ratio)
-        hashes_dev = _row_hashes_jit(self.mask)           # (N,) uint64-as-2xint32
-        sample_cap = 131072
-        if n > sample_cap:
-            # Cheap pre-check on a prefix of the hash vector (256 KB host
-            # transfer): if it already shows too many distinct patterns the
-            # full detection cannot possibly succeed.
-            head = np.asarray(hashes_dev[: sample_cap // 2])
-            if len(np.unique(_combine_hashes(head))) > p_cap:
-                self._patterns = False
-                return None
-        h64 = _combine_hashes(np.asarray(hashes_dev))
-        uniq, rep, inverse = np.unique(h64, return_index=True, return_inverse=True)
+        if mesh is None:
+            h = _row_hashes_jit(self.mask)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep2 = NamedSharding(mesh, PartitionSpec(None, None))
+            h = jax.jit(_row_hashes, out_shardings=rep2)(self.mask)
+        # Host-side unique of the (N, 2) hashes: 8 MB off-device at N=1M
+        # (~0.4 s through the remote tunnel) + np.unique (~70 ms) — far
+        # cheaper than ranking on device, whose sort program alone costs
+        # ~30 s of one-time XLA:TPU compile.
+        h64 = _combine_hashes(np.asarray(h))
+        uniq, inverse = np.unique(h64, return_inverse=True)
         P = len(uniq)
         if P > p_cap:
             self._patterns = False
-            return None
-        pidx = jnp.asarray(inverse.astype(np.int32))
-        patterns = jnp.asarray(np.asarray(self.mask[jnp.asarray(rep.astype(np.int32))]))
-        if sharded:
+            return
+        inverse = np.ascontiguousarray(inverse.astype(np.int32))
+        # Exact verification (defends against hash collisions) AND pattern
+        # table extraction in one device pass (_pattern_counts): a group is
+        # internally consistent iff every column's count is 0 or the group
+        # size, and the pattern table is then exactly `count == size`.
+        if mesh is None:
+            pidx = jnp.asarray(inverse)
+            cnt, sz = _pattern_counts_jit(pidx, self.mask, P=P)
+        else:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            pidx = jax.device_put(pidx, self.weights_dev.sharding)
-            mesh = self.weights_dev.sharding.mesh
+            row_sh = self.weights_dev.sharding
+            pidx = jax.make_array_from_callback(
+                (n,), row_sh, lambda idx: inverse[idx]
+            )
+            cnt, sz = jax.jit(
+                functools.partial(_pattern_counts, P=P),
+                out_shardings=(
+                    NamedSharding(mesh, PartitionSpec(None, None)),
+                    NamedSharding(mesh, PartitionSpec(None)),
+                ),
+            )(pidx, self.mask)
+        cnt_h = np.asarray(cnt)                      # the ONE host sync
+        sz_h = np.asarray(sz)[:, None]
+        if not bool(((cnt_h == 0) | (cnt_h == sz_h)).all()):
+            # collision (~2^-64 per pattern pair): demote to the general path
+            self._patterns = False
+            return
+        patterns = cnt_h == sz_h
+        if mesh is None:
+            patterns = jnp.asarray(patterns)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
             patterns = jax.device_put(
                 patterns, NamedSharding(mesh, PartitionSpec(None, None))
             )
-        # Exact verification (defends against hash collisions): every row
-        # must equal its assigned pattern.  Blocked to bound the (step, D)
-        # gather temporary, but dispatched asynchronously and reduced to ONE
-        # scalar host sync at the end (a host sync per block serialized the
-        # device and cost ~35 ms dispatch latency each through the remote
-        # runtime; VERDICT round 2 weak #2).
-        step = 1 << 20
-        oks = [
-            jnp.all(patterns[pidx[start : start + step]]
-                    == self.mask[start : start + step])
-            for start in range(0, n, step)
-        ]
-        if not bool(jnp.all(jnp.stack(oks))):
-            # collision (~2^-64 per pattern pair): demote to the general path
-            self._patterns = False
-            return None
         self._patterns = (pidx, patterns)
-        return self._patterns
 
     def empty_dimensions(self) -> List[int]:
         """Dimensions masked in *every* sample (`dataset.rs:193-222`)."""

@@ -24,7 +24,7 @@ jax.config.update("jax_enable_x64", True)  # match the parent's test config
 
 import numpy as np
 
-from ppca_rs_tpu import Dataset, PPCAModel
+from ppca_rs_tpu import Dataset, PPCAMix, PPCAModel
 from ppca_rs_tpu.parallel import distributed, make_mesh
 
 
@@ -34,6 +34,17 @@ def make_global_data(seed=0, n=256, d=16):
     data[rng.random((n, d)) < 0.3] = np.nan
     weights = rng.random(n) + 0.5
     return data, weights
+
+
+def make_patterned_data(seed=1, n=256, d=16, p=4):
+    """Masks drawn from a small pattern pool — the collective
+    detect_patterns() fixture (same data on every process)."""
+    rng = np.random.default_rng(seed)
+    pats = rng.random((p, d)) < 0.7
+    pidx = rng.integers(0, p, size=n)
+    data = rng.normal(size=(n, d))
+    data[~pats[pidx]] = np.nan
+    return data
 
 
 def main():
@@ -59,11 +70,30 @@ def main():
         model = model.iterate(ds)
     llk = float(model.llk(ds))
 
+    # Phase 2: COLLECTIVE pattern detection on a structured-missingness
+    # dataset (Dataset.detect_patterns is a collective; every process calls
+    # it here, at the same point) followed by pattern-fast-path EM.
+    pdata = make_patterned_data()
+    half2 = pdata.shape[0] // 2
+    local2 = Dataset(pdata[pid * half2 : (pid + 1) * half2])
+    ds2 = distributed.shard_dataset_local(local2, mesh)
+    info = ds2.detect_patterns()
+    assert info is not None, "collective pattern detection demoted"
+    n_patterns = int(info[1].shape[0])
+    assert ds2.pattern_info() is info  # cached; later calls are host-local
+    model2 = PPCAModel.init(3, ds2, key=jax.random.key(9))
+    for _ in range(2):
+        model2 = model2.iterate(ds2)
+    llk2 = float(model2.llk(ds2))
+
     print(json.dumps({
         "llk": llk,
         "transform": np.asarray(model.transform).tolist(),
         "mean": np.asarray(model.mean).tolist(),
         "sigma": float(model.isotropic_noise),
+        "llk_pat": llk2,
+        "n_patterns": n_patterns,
+        "transform_pat": np.asarray(model2.transform).tolist(),
     }), flush=True)
 
 

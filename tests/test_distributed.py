@@ -86,3 +86,25 @@ def test_two_process_em_matches_single_process():
         np.asarray(outs[0]["mean"]), np.asarray(model.mean), rtol=1e-8, atol=1e-10
     )
     assert outs[0]["sigma"] == pytest.approx(float(model.isotropic_noise), rel=1e-8)
+
+    # phase 2: collective pattern detection — both processes agree, the
+    # pattern count is right, and the pattern-path EM matches a
+    # single-process run on the same data (which detects lazily)
+    from _distributed_worker import make_patterned_data
+
+    assert outs[0]["n_patterns"] == outs[1]["n_patterns"]
+    assert outs[0]["llk_pat"] == pytest.approx(outs[1]["llk_pat"], rel=0, abs=0)
+
+    pdata = make_patterned_data()
+    pds = Dataset(pdata)
+    info = pds.pattern_info()
+    assert info is not None
+    assert outs[0]["n_patterns"] == int(info[1].shape[0])
+    pmodel = PPCAModel.init(3, pds, key=jax.random.key(9))
+    for _ in range(2):
+        pmodel = pmodel.iterate(pds)
+    assert outs[0]["llk_pat"] == pytest.approx(float(pmodel.llk(pds)), rel=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(outs[0]["transform_pat"]), np.asarray(pmodel.transform),
+        rtol=1e-8, atol=1e-10,
+    )

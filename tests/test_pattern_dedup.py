@@ -99,6 +99,23 @@ def test_pattern_info_gates(rng):
     assert info is not None and info[1].shape == (1, 4)
 
 
+def test_hash_collision_demotes(rng, monkeypatch):
+    """A hash collision may group distinct mask rows together; the exact
+    count verification must catch it and demote to the general path (never
+    silently mis-group).  Simulated by forcing every row to hash equal."""
+    import ppca_rs_tpu.dataset as dsm
+
+    ds = make_patterned_dataset(rng)
+    n = int(ds.mask.shape[0])
+    # _detect looks _row_hashes_jit up at call time, so the patch holds even
+    # with warm jit caches.
+    monkeypatch.setattr(
+        dsm, "_row_hashes_jit", lambda mask: jnp.zeros((n, 2), jnp.int32)
+    )
+    assert ds.pattern_info() is None
+    assert ds._patterns is False  # demoted, not retried
+
+
 # --------------------------------------------------------------------- #
 # parity with the general masked path (f64)
 
