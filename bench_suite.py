@@ -122,11 +122,13 @@ def main():
                  f"{dt / 3:.3f}s/iter", f"{N * 3 / dt:,.0f} samples/s"))
     del kds, kmodel, kdata, kmask
 
-    # 3a'. k=192 (comfortable-config ceiling) and k=256 (lean big-k config:
-    # single-buffered A, manual SM DMA) — the k>192 cliff rows.  The
+    # 3a'. k=192 (comfortable-config ceiling), k=256 (lean big-k config:
+    # single-buffered A, manual SM DMA), and k=384/512 (past every kernel
+    # ceiling: the blocked Schur-inverse path, ops/block_spd.py).  The
     # per-sample kernel cost scales ~k^3; 'within ~3x the per-flop cost of
     # k=128' means time/sample <= ~3 * (k/128)^3 * k=128's.
-    for kbig, nbig, it in ((192, 131_072, 3), (256, 131_072, 2)):
+    for kbig, nbig, it in ((192, 131_072, 3), (256, 131_072, 2),
+                           (384, 65_536, 2), (512, 32_768, 2)):
         kb = jax.random.split(jax.random.PRNGKey(40 + kbig), 4)
 
         @jax.jit
@@ -202,6 +204,7 @@ def main():
     dt = time.perf_counter() - t0
     rows.append((f"mixture EM, M={M} fused single-pass (D={D}, k={k}, N=200k)",
                  f"{dt / iters:.3f}s/iter", f"{N * iters / dt:,.0f} samples/s"))
+    del mds, mix, data, mask
 
     # 5. Priors + degenerate cases ------------------------------------------
     rng = np.random.default_rng(7)
@@ -259,6 +262,12 @@ def main():
     rows.append((f"structured missingness, P={Pn} patterns dedup "
                  f"(D={D}, k={k}, N=1M, 50% missing; detect {detect:.1f}s once)",
                  f"{dt / iters:.3f}s/iter", f"{N * iters / dt:,.0f} samples/s"))
+    # free the ~5 GB of section-4..6 device arrays before the 12 GB
+    # bf16-storage row below — keeping them resident OOMs the 16 GB chip
+    del pds, model, data, mask, dds, wm
+    import gc
+
+    gc.collect()
 
     # 7. Large-N single-chip headline with bf16 storage ---------------------
     # The north-star config is 10M rows at D=1024 on a v5e-8; a single v5e's

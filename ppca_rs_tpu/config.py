@@ -50,6 +50,12 @@ class Config:
     #: unaffected either way).
     mix_exact_rnorm: bool = False
 
+    #: Route state sizes past the fused kernel's VMEM ceiling through the
+    #: blocked Schur-complement inverse (ops/block_spd.py): batched MXU
+    #: matmuls + Pallas base blocks, size-generic in k.  When False those
+    #: sizes fall back to XLA batched Cholesky (~15-50x slower on TPU).
+    use_blocked_large_k: bool = True
+
     #: Mask-pattern deduplication: when a dataset has P distinct mask
     #: patterns with P << N (structured missingness), per-sample
     #: factorizations collapse to a P-sized table (ops/pattern_dedup.py).
@@ -70,17 +76,31 @@ if os.environ.get("PPCA_RS_TPU_NO_PALLAS"):
     config.use_pallas = False
 if os.environ.get("PPCA_RS_TPU_NO_NATIVE"):
     config.use_native = False
+if os.environ.get("PPCA_RS_TPU_NO_BLOCKED_LARGE_K"):
+    config.use_blocked_large_k = False
 if os.environ.get("PPCA_RS_TPU_MIX_EXACT_RNORM"):
     config.mix_exact_rnorm = True
 if os.environ.get("PPCA_RS_TPU_MATMUL_PRECISION"):
     config.matmul_precision = os.environ["PPCA_RS_TPU_MATMUL_PRECISION"]
 
 
-def block_size_for(n: int) -> int:
+def block_size_for(n: int, k: int = 0) -> int:
     """Pick the scan block size for an N-sample reduction: the configured block
     size, shrunk to the smallest power of two >= n for small inputs so tiny
-    datasets don't pay for an 8k-row pad."""
+    datasets don't pay for an 8k-row pad.
+
+    When the state size ``k`` is given and exceeds the fused kernel's
+    "full" ceiling (the blocked Schur-inverse regime, ops/block_spd.py),
+    the block is also shrunk so the ~4 live (block, k, k) f32 temporaries
+    (M, M^{-1}, Sigma, SM) stay within ~2 GiB — at k = 512 an 8192-row
+    block would otherwise hold 8 GiB PER temporary."""
     b = config.block_size
+    if k:
+        from .ops import kernels  # lazy: config must import before ops
+
+        if k > kernels.max_k("full"):
+            while b > 128 and b * k * k * 16 > (2 << 30):
+                b //= 2
     while b >= 2 * max(n, 1):
         b //= 2
     return max(b, 8)

@@ -59,16 +59,17 @@ def _precision(output_size: int = AUTO_PRECISION_MIN_D):
     return jax.default_matmul_precision(p)
 
 
-def _impl_and_block(dataset: Dataset):
+def _impl_and_block(dataset: Dataset, k: int = 0):
     """Pick the single-device or shard_map implementation based on how the
     dataset's arrays are sharded (see parallel/mesh.py), plus the scan block
-    size appropriate for the per-device row count."""
+    size appropriate for the per-device row count (and shrunk for large
+    state sizes in the blocked Schur-inverse regime — block_size_for)."""
     from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, dataset_mesh
 
     dense = dataset.all_observed()
     mesh = dataset_mesh(dataset)
     if mesh is None:
-        bs = block_size_for(dataset.padded_len)
+        bs = block_size_for(dataset.padded_len, k)
         if dense:
             return _SINGLE_DENSE, bs
         pat = dataset.pattern_info()
@@ -80,7 +81,7 @@ def _impl_and_block(dataset: Dataset):
     n_data = mesh.shape[DATA_AXIS]
     use_model = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
     fns = fns_for(mesh, use_model, dense)
-    bs = block_size_for(max(1, dataset.padded_len // n_data))
+    bs = block_size_for(max(1, dataset.padded_len // n_data), k)
     if not dense and not use_model:
         # Data-axis-sharded pattern dedup: same tables, per-shard rows.
         pat = dataset.pattern_info()
@@ -571,7 +572,7 @@ class PPCAModel:
         """Weighted total log-likelihood (`ppca_model.rs:142-149`)."""
         if dataset.is_empty():
             return 0.0
-        fns, bs = _impl_and_block(dataset)
+        fns, bs = _impl_and_block(dataset, self.state_size)
         with _precision(self.output_size):
             out = fns["llk"](
                 self._transform, self._mean, self._isotropic_noise,
@@ -586,7 +587,7 @@ class PPCAModel:
     def _llks_device(self, dataset: Dataset):
         """Per-sample llks as a device array over the (possibly padded)
         physical rows — used by the mixture layer to stay on device."""
-        fns, bs = _impl_and_block(dataset)
+        fns, bs = _impl_and_block(dataset, self.state_size)
         with _precision(self.output_size):
             return fns["llks"](
                 self._transform, self._mean, self._isotropic_noise,
@@ -633,7 +634,7 @@ class PPCAModel:
         return InferredMasked(self, states, covs)
 
     def _infer_arrays(self, dataset: Dataset):
-        fns, bs = _impl_and_block(dataset)
+        fns, bs = _impl_and_block(dataset, self.state_size)
         with _precision(self.output_size):
             states, covs = fns["infer"](
                 self._transform, self._mean, self._isotropic_noise,
@@ -645,7 +646,7 @@ class PPCAModel:
     def smooth(self, dataset: Dataset) -> Dataset:
         """De-noise observed values and fill missing ones
         (`ppca_model.rs:231-244`); preserves dataset weights."""
-        fns, bs = _impl_and_block(dataset)
+        fns, bs = _impl_and_block(dataset, self.state_size)
         with _precision(self.output_size):
             smoothed = fns["smooth"](
                 self._transform, self._mean, self._isotropic_noise,
@@ -657,7 +658,7 @@ class PPCAModel:
     def extrapolate(self, dataset: Dataset) -> Dataset:
         """Fill missing values, keeping observed ones untouched
         (`ppca_model.rs:248-261`); preserves dataset weights."""
-        fns, bs = _impl_and_block(dataset)
+        fns, bs = _impl_and_block(dataset, self.state_size)
         with _precision(self.output_size):
             extr = fns["extrapolate"](
                 self._transform, self._mean, self._isotropic_noise,
@@ -692,7 +693,7 @@ class PPCAModel:
         if prior is None:
             prior = Prior()
         tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
-        fns, bs = _impl_and_block(dataset)
+        fns, bs = _impl_and_block(dataset, self.state_size)
         with _precision(self.output_size):
             new_C, new_mean, new_sigma, llk = fns["em_step"](
                 self._transform, self._mean, self._isotropic_noise,
@@ -722,7 +723,7 @@ class PPCAModel:
         if prior is None:
             prior = Prior()
         tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
-        fns, bs = _impl_and_block(dataset)
+        fns, bs = _impl_and_block(dataset, self.state_size)
         with _precision(self.output_size):
             new_C, new_mean, new_sigma, llks = fns["em_n"](
                 self._transform, self._mean, self._isotropic_noise,

@@ -79,15 +79,20 @@ def outer_flat(C: jax.Array) -> jax.Array:
 
 class BlockPosterior(NamedTuple):
     """Per-block E-step quantities. ``R``, ``G_local`` are model-shard local;
-    the solved quantities (``states``, ``chol``, ...) are model-replicated."""
+    the solved quantities (``states``, ``chol``, ...) are model-replicated.
+
+    Exactly one of ``chol`` / (``Minv``, ``logdet_m``) is populated: the XLA
+    path factors M, the large-k blocked path (ops/block_spd.py) inverts it."""
 
     R: jax.Array        # (B, D_loc) masked centered data
     b: jax.Array        # (B, k) = C^T r   (model-reduced)
     G_local: jax.Array  # (B, k*k) local mask Gram (before model psum)
     M: jax.Array        # (B, k, k) = sigma^2 I + C^T diag(m) C
-    chol: jax.Array     # (B, k, k) lower Cholesky of M
+    chol: Optional[jax.Array]  # (B, k, k) lower Cholesky of M (XLA path)
     states: jax.Array   # (B, k) posterior means
     d_obs: jax.Array    # (B,) observed-entry counts (model-reduced)
+    Minv: Optional[jax.Array] = None      # (B, k, k) M^{-1} (blocked path)
+    logdet_m: Optional[jax.Array] = None  # (B,) log det M  (blocked path)
 
 
 def block_posterior(
@@ -98,10 +103,13 @@ def block_posterior(
     data: jax.Array,
     mask_f: jax.Array,
     axis_model: Optional[str] = None,
+    use_blocked: bool = False,
 ) -> BlockPosterior:
     """Fixed-shape E-step for one block of samples.
 
     Mirrors `ppca_model.rs:195-208` (infer_one) batched over the block.
+    ``use_blocked`` (static) routes the factorization through the blocked
+    Schur-complement inverse (large k on TPU, see :mod:`.block_spd`).
     """
     k = C.shape[1]
     n = data.shape[0]
@@ -112,14 +120,24 @@ def block_posterior(
     G_local = mask_f @ CC
     G = _psum(G_local, axis_model).reshape(n, k, k)
     M = G + sigma2 * jnp.eye(k, dtype=dtype)
+    d_obs = _psum(jnp.sum(mask_f, axis=-1), axis_model)
+    if use_blocked:
+        from . import block_spd
+
+        Minv, logdet_m = block_spd.inv_logdet(M)
+        states = jnp.matmul(Minv, b[..., None])[..., 0]
+        return BlockPosterior(R=R, b=b, G_local=G_local, M=M, chol=None,
+                              states=states, d_obs=d_obs, Minv=Minv,
+                              logdet_m=logdet_m)
     L = jnp.linalg.cholesky(M)
     states = cho_solve((L, True), b[..., None])[..., 0]
-    d_obs = _psum(jnp.sum(mask_f, axis=-1), axis_model)
     return BlockPosterior(R=R, b=b, G_local=G_local, M=M, chol=L, states=states, d_obs=d_obs)
 
 
 def block_covariances(post: BlockPosterior, sigma: jax.Array) -> jax.Array:
     """Posterior state covariances ``Sigma = sigma^2 M^{-1}`` for a block."""
+    if post.Minv is not None:
+        return (sigma * sigma) * post.Minv
     k = post.chol.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(k, dtype=post.chol.dtype), post.chol.shape)
     return (sigma * sigma) * cho_solve((post.chol, True), eye)
@@ -134,7 +152,9 @@ def block_llk(
     sigma2 = sigma * sigma
     rnorm = _psum(jnp.sum(post.R * post.R, axis=-1), axis_model)
     quad = (rnorm - jnp.sum(post.b * post.states, axis=-1)) / sigma2
-    if k > 0:
+    if post.logdet_m is not None:
+        logdet_m = post.logdet_m
+    elif k > 0:
         diag = jnp.diagonal(post.chol, axis1=-2, axis2=-1)
         logdet_m = 2.0 * jnp.sum(jnp.log(diag), axis=-1)
     else:
@@ -152,9 +172,10 @@ def _use_kernel(k: int, block_size: int, dtype, axis_model, want: str = "full") 
 
     ``want`` picks the variant's VMEM ceiling (lighter variants reach
     higher k — see kernels.supported).  When the ONLY blocker is a state
-    size beyond the kernel ceiling, warn once: the XLA batched-Cholesky
-    fallback is 15-50x slower on TPU and users deserve to know rather than
-    silently hitting the cliff (VERDICT round 2, missing #1)."""
+    size beyond the kernel ceiling, warn once and say which fallback
+    engages: the blocked Schur-inverse path (MXU-bound, the normal case —
+    see :func:`_use_blocked`) or raw XLA batched Cholesky, which is
+    ~15-50x slower on TPU (VERDICT round 2, missing #1)."""
     from ..config import config
     from . import kernels
 
@@ -173,14 +194,47 @@ def _use_kernel(k: int, block_size: int, dtype, axis_model, want: str = "full") 
         _warned_fallback.add((k, want))
         import warnings
 
-        warnings.warn(
-            f"state_size k={k} exceeds the fused TPU kernel's ceiling for "
-            f"the {want!r} variant (max {kernels.max_k(want)}); falling back "
-            "to XLA batched Cholesky, which is ~15-50x slower on TPU. "
-            "Consider a smaller state size.",
-            stacklevel=3,
-        )
+        if _use_blocked(k, block_size, dtype, axis_model, want):
+            warnings.warn(
+                f"state_size k={k} exceeds the fused TPU kernel's ceiling "
+                f"for the {want!r} variant (max {kernels.max_k(want)}); "
+                "routing the factorization through the blocked "
+                "Schur-complement inverse (MXU matmuls + Pallas base "
+                "blocks — size-generic, slower per flop than the fused "
+                "kernel but no XLA batched-Cholesky cliff).",
+                stacklevel=3,
+            )
+        else:
+            warnings.warn(
+                f"state_size k={k} exceeds the fused TPU kernel's ceiling for "
+                f"the {want!r} variant (max {kernels.max_k(want)}); falling back "
+                "to XLA batched Cholesky, which is ~15-50x slower on TPU. "
+                "Consider a smaller state size.",
+                stacklevel=3,
+            )
     return False
+
+
+def _use_blocked(
+    k: int, block_size: int, dtype, axis_model, want: str = "full"
+) -> bool:
+    """Whether the large-k blocked Schur-inverse E-step path applies
+    (ops/block_spd.py): TPU, f32, un-sharded D, and a state size past the
+    fused kernel's VMEM ceiling for this variant.  Keeps k size-generic
+    (`output_covariance.rs:72-121`) without the XLA batched-Cholesky
+    cliff; block alignment is irrelevant (the base case pads its own
+    lanes)."""
+    from ..config import config
+    from . import kernels
+
+    return (
+        config.use_pallas
+        and config.use_blocked_large_k
+        and axis_model is None
+        and jax.default_backend() == "tpu"
+        and dtype == jnp.float32
+        and k > kernels.max_k(want)
+    )
 
 
 def _kernel_rows_solve(S_sq, cross, lam, *, interpret: bool = False):
@@ -301,6 +355,7 @@ def llks(
     cdtype = compute_dtype(data.dtype, C.dtype)
     CC = outer_flat(C)
     use_kernel = _use_kernel(k, block_size, cdtype, axis_model, "llk")
+    use_blocked = (not use_kernel) and _use_blocked(k, block_size, cdtype, axis_model, "llk")
     _, (data3, mask3) = _pad_blocks(n, block_size, data, mask)
 
     def body(_, xs):
@@ -313,7 +368,8 @@ def llks(
             _, b_t, G3, rnorm, d_obs = _kernel_prep(C, CC, mean, sigma, datab, mf)
             (llk,) = kernels.spd_estep(sigma, G3, b_t, rnorm, d_obs[None, :], want="llk")
             return None, llk[0]
-        post = block_posterior(C, CC, mean, sigma, datab, mf, axis_model)
+        post = block_posterior(C, CC, mean, sigma, datab, mf, axis_model,
+                               use_blocked=use_blocked)
         return None, block_llk(post, sigma, k, axis_model)
 
     _, out = lax.scan(body, None, (data3, mask3))
@@ -337,6 +393,8 @@ def infer(
     cdtype = compute_dtype(data.dtype, C.dtype)
     CC = outer_flat(C)
     use_kernel = _use_kernel(C.shape[1], block_size, cdtype, axis_model, "infer")
+    use_blocked = (not use_kernel) and _use_blocked(
+        C.shape[1], block_size, cdtype, axis_model, "infer")
     _, (data3, mask3) = _pad_blocks(n, block_size, data, mask)
 
     def body(_, xs):
@@ -354,7 +412,8 @@ def infer(
                 sigma, G3, b_t, rnorm, d_obs[None, :], want="infer"
             )
             return None, (s_t.T, jnp.transpose(Sig3, (2, 0, 1)))
-        post = block_posterior(C, CC, mean, sigma, datab, mf, axis_model)
+        post = block_posterior(C, CC, mean, sigma, datab, mf, axis_model,
+                               use_blocked=use_blocked)
         return None, (post.states, block_covariances(post, sigma))
 
     _, (states, covs) = lax.scan(body, None, (data3, mask3))
@@ -381,6 +440,7 @@ def states(
     cdtype = compute_dtype(data.dtype, C.dtype)
     CC = outer_flat(C)
     use_kernel = _use_kernel(k, block_size, cdtype, axis_model, "states")
+    use_blocked = (not use_kernel) and _use_blocked(k, block_size, cdtype, axis_model, "states")
     _, (data3, mask3) = _pad_blocks(n, block_size, data, mask)
 
     def body(_, xs):
@@ -393,7 +453,8 @@ def states(
             _, b_t, G3, rnorm, d_obs = _kernel_prep(C, CC, mean, sigma, datab, mf)
             s_t, _ = kernels.spd_estep(sigma, G3, b_t, rnorm, d_obs[None, :], want="states")
             return None, s_t.T
-        post = block_posterior(C, CC, mean, sigma, datab, mf, axis_model)
+        post = block_posterior(C, CC, mean, sigma, datab, mf, axis_model,
+                               use_blocked=use_blocked)
         return None, post.states
 
     _, out = lax.scan(body, None, (data3, mask3))
@@ -441,6 +502,7 @@ def em_stats(
     dtype = compute_dtype(data.dtype, C.dtype)
     CC = outer_flat(C)
     use_kernel = _use_kernel(k, block_size, dtype, axis_model, "fullt")
+    use_blocked = (not use_kernel) and _use_blocked(k, block_size, dtype, axis_model, "fullt")
     _, (data3, mask3, w2) = _pad_blocks(n, block_size, data, mask, weights)
 
     def body(acc, xs):
@@ -473,7 +535,8 @@ def em_stats(
                 (acc[0] + cross, acc[1] + S),
                 (square_error, dev_sq, total_dev, totals, llk),
             )
-        post = block_posterior(C, CC, mean, sigma, datab, mask_f, axis_model)
+        post = block_posterior(C, CC, mean, sigma, datab, mask_f, axis_model,
+                               use_blocked=use_blocked)
         Sigma = block_covariances(post, sigma)
         s = post.states
 
@@ -557,6 +620,16 @@ def em_finalize(
             # (block arg = one lane tile: _kernel_rows_solve pads the D_loc
             # batch to a lane multiple itself, so D_loc need not be aligned)
             sol = _kernel_rows_solve(S_sq, stats.cross, transformation_precision)
+        elif (not under_vmap) and _use_blocked(k, 128, dtype, None, "states"):
+            # Past the kernel's "states" ceiling: invert through the blocked
+            # Schur path (A is PSD; a singular row — e.g. an empty dimension
+            # with lambda = 0 — yields non-finite entries exactly like the
+            # LU path and takes the same keep-old-row fallback below).
+            from . import block_spd
+
+            A = S_sq + transformation_precision * jnp.eye(k, dtype=dtype)
+            Ainv, _ = block_spd.inv_logdet(A)
+            sol = jnp.matmul(Ainv, stats.cross[..., None])[..., 0]
         else:
             A = S_sq + transformation_precision * jnp.eye(k, dtype=dtype)
             sol = jnp.linalg.solve(A, stats.cross[..., None])[..., 0]

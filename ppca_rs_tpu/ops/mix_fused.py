@@ -106,13 +106,31 @@ def _block_post(Cs, CCs, means, sigmas, datab, mask_f,
         sigma2 = (sigmas * sigmas)[:, None, None]
         G = _psum(G_flat_loc, axis_model).reshape(M, B, k, k)
         Mmat = G + sigma2[..., None] * jnp.eye(k, dtype=dtype)
-        L = jnp.linalg.cholesky(Mmat)
-        s = jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
+        Sigma = None
+        if k > 0 and ml._use_blocked(k, B, dtype, axis_model, want):
+            # past the kernel ceiling: blocked Schur inverse (block_spd)
+            from . import block_spd
+
+            Minv, ldm = block_spd.inv_logdet(Mmat.reshape(M * B, k, k))
+            Minv = Minv.reshape(M, B, k, k)
+            logdet_m = ldm.reshape(M, B)
+            s = jnp.matmul(Minv, b[..., None])[..., 0]
+            if want in ("full", "infer", "fullt"):
+                Sigma = sigma2[..., None] * Minv
+        else:
+            L = jnp.linalg.cholesky(Mmat)
+            s = jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
+            if want in ("full", "infer", "fullt"):
+                eye = jnp.broadcast_to(jnp.eye(k, dtype=dtype), Mmat.shape)
+                Sigma = sigma2[..., None] * jax.scipy.linalg.cho_solve((L, True), eye)
+            if k > 0:
+                diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+                logdet_m = 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+            else:
+                logdet_m = jnp.zeros((M, B), dtype)
         if want in ("full", "infer", "fullt"):
             # (the XLA fallback has no wedge savings: "fullt" just returns
             # the full symmetric SM, which trivially satisfies the contract)
-            eye = jnp.broadcast_to(jnp.eye(k, dtype=dtype), Mmat.shape)
-            Sigma = sigma2[..., None] * jax.scipy.linalg.cho_solve((L, True), eye)
             if want == "infer":
                 SM = Sigma.reshape(M, B, k * k)
             else:
@@ -120,11 +138,6 @@ def _block_post(Cs, CCs, means, sigmas, datab, mask_f,
             sq_b = jnp.sum(
                 G_flat_loc.reshape(M, B, k * k) * Sigma.reshape(M, B, k * k), axis=-1
             )
-        if k > 0:
-            diag = jnp.diagonal(L, axis1=-2, axis2=-1)
-            logdet_m = 2.0 * jnp.sum(jnp.log(diag), axis=-1)
-        else:
-            logdet_m = jnp.zeros((M, B), dtype)
         quad = (rnorm - jnp.sum(b * s, axis=-1)) / (sigmas * sigmas)[:, None]
         logdet = logdet_m + 2.0 * jnp.log(sigmas)[:, None] * (d_obs[None, :] - k)
         llks = -0.5 * (quad + logdet + LN_2PI * d_obs[None, :])
@@ -304,18 +317,28 @@ def _block_mix_fast(Cs, Cs_t, Cdm_t, CCs_t, mean0, dm, dm2, sigmas,
         G = G.reshape(q, M, B).transpose(1, 2, 0)                 # (M, B, q)
         eye = jnp.eye(k, dtype=dtype)
         Mmat = G.reshape(M, B, k, k) + sigma2[..., None, None] * eye
-        L = jnp.linalg.cholesky(Mmat)
-        s = jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
-        Sigma = sigma2[..., None, None] * jax.scipy.linalg.cho_solve(
-            (L, True), jnp.broadcast_to(eye, Mmat.shape)
-        )
+        if k > 0 and ml._use_blocked(k, B, dtype, None, EM_WANT):
+            # past the kernel ceiling: blocked Schur inverse (block_spd)
+            from . import block_spd
+
+            Minv, ldm = block_spd.inv_logdet(Mmat.reshape(M * B, k, k))
+            Minv = Minv.reshape(M, B, k, k)
+            logdet_m = ldm.reshape(M, B)
+            s = jnp.matmul(Minv, b[..., None])[..., 0]
+            Sigma = sigma2[..., None, None] * Minv
+        else:
+            L = jnp.linalg.cholesky(Mmat)
+            s = jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
+            Sigma = sigma2[..., None, None] * jax.scipy.linalg.cho_solve(
+                (L, True), jnp.broadcast_to(eye, Mmat.shape)
+            )
+            if k > 0:
+                diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+                logdet_m = 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+            else:
+                logdet_m = jnp.zeros((M, B), dtype)
         SM = (s[..., :, None] * s[..., None, :] + Sigma).reshape(M, B, q)
         sq_b = jnp.sum(G * Sigma.reshape(M, B, q), axis=-1)
-        if k > 0:
-            diag = jnp.diagonal(L, axis1=-2, axis2=-1)
-            logdet_m = 2.0 * jnp.sum(jnp.log(diag), axis=-1)
-        else:
-            logdet_m = jnp.zeros((M, B), dtype)
         bs = jnp.sum(b * s, axis=-1)
         s2 = jnp.sum(s * s, axis=-1)
         quad = (rnorm - bs) / sigma2
@@ -879,6 +902,21 @@ def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
             rows_pre = ml._kernel_rows_solve(
                 S_sq, cr_sc.reshape(M * D_loc, k), transformation_precision
             ).reshape(M, D_loc, k)
+        elif k > 0 and ml._use_blocked(k, 128, Cs.dtype, None, "states"):
+            # past the kernel ceiling: blocked Schur inverse (block_spd);
+            # singular rows go non-finite and take the keep-old-row
+            # fallback inside em_finalize, exactly like the LU path.
+            from . import block_spd
+
+            S_sc = stats.S * inv_scale[:, None, None]
+            cr_sc = stats.cross * inv_scale[:, None, None]
+            S_sq = S_sc.reshape(M * D_loc, k, k)
+            S_sq = jnp.tril(S_sq) + jnp.swapaxes(jnp.tril(S_sq, -1), -1, -2)
+            A = S_sq + transformation_precision * jnp.eye(k, dtype=Cs.dtype)
+            Ainv, _ = block_spd.inv_logdet(A)
+            rows_pre = jnp.matmul(
+                Ainv, cr_sc.reshape(M * D_loc, k)[..., None]
+            )[..., 0].reshape(M, D_loc, k)
         if rows_pre is not None:
             new_Cs, new_means, new_sigmas = jax.vmap(finalize_vmapped)(
                 Cs, means, sigmas, stats.cross, stats.S, stats.square_error,
