@@ -259,7 +259,10 @@ class Dataset:
         the pattern table itself) — a hash collision can therefore never
         mis-group rows, it only demotes the dataset to the general path.
         Measured cost at N=1M, D=1024 on a v5e: ~0.5 s warm, ~3 s with
-        cold compile caches.  The result is cached; ``with_weights``
+        cold compile caches; unstructured (all-rows-distinct) masks only
+        ever pay for a 64k-row prefix sample of the hashes, which already
+        proves the pattern count over the cap.  The result is cached;
+        ``with_weights``
         and ``astype`` share the cache (same mask).  The config gate is
         re-checked on every call, so toggling ``config.use_pattern_dedup``
         takes effect even for datasets with already-cached patterns.
@@ -379,6 +382,17 @@ class Dataset:
 
             rep2 = NamedSharding(mesh, PartitionSpec(None, None))
             h = jax.jit(_row_hashes, out_shardings=rep2)(self.mask)
+        # Cheap pre-check on a prefix of the hash vector (512 KB host
+        # transfer): unstructured data (all rows distinct) must demote
+        # without paying the full-N transfer + unique — a fresh Dataset's
+        # first EM iteration would otherwise eat ~0.5 s of detection for
+        # nothing (this regressed bench.py by 19% when dropped).
+        sample_cap = 131072
+        if n > sample_cap:
+            head = np.asarray(h[: sample_cap // 2])
+            if len(np.unique(_combine_hashes(head))) > p_cap:
+                self._patterns = False
+                return
         # Host-side unique of the (N, 2) hashes: 8 MB off-device at N=1M
         # (~0.4 s through the remote tunnel) + np.unique (~70 ms) — far
         # cheaper than ranking on device, whose sort program alone costs
