@@ -65,9 +65,15 @@ BASE = 256
 LANE = 128
 
 
-def _mm(a, b):
-    """Batched matmul at full-f32 precision (see module docstring)."""
+def mm_hp(a, b):
+    """Batched matmul at full-f32 precision (see module docstring).  Also
+    used by callers to APPLY the inverse (``Minv @ b``): the surrounding
+    model code may run under a "default" (bf16-pass) matmul-precision
+    context, and solve applications should keep solve-grade precision."""
     return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
+
+
+_mm = mm_hp
 
 
 def _t(a):

@@ -125,7 +125,7 @@ def block_posterior(
         from . import block_spd
 
         Minv, logdet_m = block_spd.inv_logdet(M)
-        states = jnp.matmul(Minv, b[..., None])[..., 0]
+        states = block_spd.mm_hp(Minv, b[..., None])[..., 0]
         return BlockPosterior(R=R, b=b, G_local=G_local, M=M, chol=None,
                               states=states, d_obs=d_obs, Minv=Minv,
                               logdet_m=logdet_m)
@@ -629,7 +629,7 @@ def em_finalize(
 
             A = S_sq + transformation_precision * jnp.eye(k, dtype=dtype)
             Ainv, _ = block_spd.inv_logdet(A)
-            sol = jnp.matmul(Ainv, stats.cross[..., None])[..., 0]
+            sol = block_spd.mm_hp(Ainv, stats.cross[..., None])[..., 0]
         else:
             A = S_sq + transformation_precision * jnp.eye(k, dtype=dtype)
             sol = jnp.linalg.solve(A, stats.cross[..., None])[..., 0]

@@ -114,7 +114,7 @@ def _block_post(Cs, CCs, means, sigmas, datab, mask_f,
             Minv, ldm = block_spd.inv_logdet(Mmat.reshape(M * B, k, k))
             Minv = Minv.reshape(M, B, k, k)
             logdet_m = ldm.reshape(M, B)
-            s = jnp.matmul(Minv, b[..., None])[..., 0]
+            s = block_spd.mm_hp(Minv, b[..., None])[..., 0]
             if want in ("full", "infer", "fullt"):
                 Sigma = sigma2[..., None] * Minv
         else:
@@ -324,7 +324,7 @@ def _block_mix_fast(Cs, Cs_t, Cdm_t, CCs_t, mean0, dm, dm2, sigmas,
             Minv, ldm = block_spd.inv_logdet(Mmat.reshape(M * B, k, k))
             Minv = Minv.reshape(M, B, k, k)
             logdet_m = ldm.reshape(M, B)
-            s = jnp.matmul(Minv, b[..., None])[..., 0]
+            s = block_spd.mm_hp(Minv, b[..., None])[..., 0]
             Sigma = sigma2[..., None, None] * Minv
         else:
             L = jnp.linalg.cholesky(Mmat)
@@ -914,7 +914,7 @@ def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
             S_sq = jnp.tril(S_sq) + jnp.swapaxes(jnp.tril(S_sq, -1), -1, -2)
             A = S_sq + transformation_precision * jnp.eye(k, dtype=Cs.dtype)
             Ainv, _ = block_spd.inv_logdet(A)
-            rows_pre = jnp.matmul(
+            rows_pre = block_spd.mm_hp(
                 Ainv, cr_sc.reshape(M * D_loc, k)[..., None]
             )[..., 0].reshape(M, D_loc, k)
         if rows_pre is not None:
