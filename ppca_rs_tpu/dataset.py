@@ -40,16 +40,39 @@ def _hash_powers(d: int) -> np.ndarray:
     return np.asarray(cols, dtype=np.int32).T
 
 
+#: Rows hashed per map step: bounds the per-chunk packbits/int32
+#: temporaries to ~768 MB at D=1024.  An unchunked version cast the whole
+#: (N, D) mask at once — a 16 GB int32 transient at N=4M that OOM'd the
+#: chip right at the dataset's HBM high-water mark.
+_HASH_CHUNK = 1 << 19
+
+
 def _row_hashes(mask):
     """Two independent 32-bit polynomial hashes of each mask row — so pattern
     detection ships 8 bytes per row to the host instead of D bits.
 
-    The polynomial fold h = ((b_0 m + b_1) m + ...) is evaluated as ONE s32
-    matmul sum_j b_j m^(D-1-j): s32 dot wraps mod 2^32 exactly like the fold
-    (verified against a numpy u64 reference), and the single-matmul program
-    compiles in <1 s where a D-step lax.scan took ~9 s and a device
-    sort-based ranking ~30 s through the remote-compile path."""
-    return mask.astype(jnp.int32) @ jnp.asarray(_hash_powers(mask.shape[1]))
+    Each chunk of rows is packed to bytes (8x smaller) and the polynomial
+    fold h = ((b_0 m + b_1) m + ...) over the bytes is evaluated as an s32
+    matmul sum_j b_j m^(L-1-j): s32 dot wraps mod 2^32 exactly like the
+    fold (verified against a numpy u64 reference), and the matmul program
+    compiles in <1 s where a per-step lax.scan took ~9 s and a device
+    sort-based ranking ~30 s through the remote-compile path.  The
+    packbits/cast temporaries live only per ``_HASH_CHUNK`` rows, so the
+    program's footprint is bounded regardless of N."""
+    powers = jnp.asarray(_hash_powers(-(-mask.shape[1] // 8)))
+
+    def chunk(mb):
+        return jnp.packbits(mb, axis=1).astype(jnp.int32) @ powers
+
+    n = mask.shape[0]
+    if n <= _HASH_CHUNK:
+        return chunk(mask)
+    nb = -(-n // _HASH_CHUNK)
+    pad = nb * _HASH_CHUNK - n
+    if pad:
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))
+    out = lax.map(chunk, mask.reshape(nb, _HASH_CHUNK, -1))
+    return out.reshape(nb * _HASH_CHUNK, 2)[:n]
 
 
 _row_hashes_jit = jax.jit(_row_hashes)
@@ -375,24 +398,34 @@ class Dataset:
 
         n = self.padded_len
         p_cap = min(config.pattern_max, n // config.pattern_min_ratio)
+        # Cheap pre-check on a 64k-row prefix (hash program on the prefix
+        # only; 512 KB host transfer): unstructured data (all rows
+        # distinct) must demote without paying the full-N hash + transfer +
+        # unique — a fresh Dataset's first EM iteration would otherwise eat
+        # ~0.5 s of detection for nothing (this regressed bench.py by 19%
+        # when dropped).
+        sample_cap = 131072
         if mesh is None:
+            if n > sample_cap:
+                head = np.asarray(_row_hashes_jit(self.mask[: sample_cap // 2]))
+                if len(np.unique(_combine_hashes(head))) > p_cap:
+                    self._patterns = False
+                    return
             h = _row_hashes_jit(self.mask)
         else:
+            # (sharded: slicing a row-sharded / multi-process mask is not
+            # generally addressable, so pre-check on the replicated hash
+            # OUTPUT instead — the full hash program is cheap; it is the
+            # host-side full-N unique this avoids for unstructured data)
             from jax.sharding import NamedSharding, PartitionSpec
 
             rep2 = NamedSharding(mesh, PartitionSpec(None, None))
             h = jax.jit(_row_hashes, out_shardings=rep2)(self.mask)
-        # Cheap pre-check on a prefix of the hash vector (512 KB host
-        # transfer): unstructured data (all rows distinct) must demote
-        # without paying the full-N transfer + unique — a fresh Dataset's
-        # first EM iteration would otherwise eat ~0.5 s of detection for
-        # nothing (this regressed bench.py by 19% when dropped).
-        sample_cap = 131072
-        if n > sample_cap:
-            head = np.asarray(h[: sample_cap // 2])
-            if len(np.unique(_combine_hashes(head))) > p_cap:
-                self._patterns = False
-                return
+            if n > sample_cap:
+                head = np.asarray(h[: sample_cap // 2])
+                if len(np.unique(_combine_hashes(head))) > p_cap:
+                    self._patterns = False
+                    return
         # Host-side unique of the (N, 2) hashes: 8 MB off-device at N=1M
         # (~0.4 s through the remote tunnel) + np.unique (~70 ms) — far
         # cheaper than ranking on device, whose sort program alone costs
@@ -443,10 +476,13 @@ class Dataset:
         self._patterns = (pidx, patterns)
 
     def empty_dimensions(self) -> List[int]:
-        """Dimensions masked in *every* sample (`dataset.rs:193-222`)."""
+        """Dimensions masked in *every* sample (`dataset.rs:193-222`).
+        The reduction is jitted: an eager ``jnp.any`` over a multi-GB mask
+        can allocate a transient cast right at the dataset's HBM high-water
+        mark (observed OOM at N=4M, D=1024 bf16 on a 16 GB chip)."""
         if self.is_empty():
             return []
-        any_observed = np.asarray(jnp.any(self.mask, axis=0))
+        any_observed = np.asarray(jax.jit(functools.partial(jnp.any, axis=0))(self.mask))
         return [int(i) for i in np.nonzero(~any_observed)[0]]
 
     def numpy(self) -> np.ndarray:

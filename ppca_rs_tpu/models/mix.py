@@ -335,8 +335,10 @@ class PPCAMix:
         from ..parallel.mesh import DATA_AXIS
 
         n_data = 1 if mesh is None else mesh.shape[DATA_AXIS]
+        kmax = max((m.state_size for m in self._models), default=0)
         return block_size_for(
-            max(1, dataset.padded_len // (n_data * max(1, len(self._models))))
+            max(1, dataset.padded_len // (n_data * max(1, len(self._models)))),
+            kmax,
         )
 
     def _component_llks(self, dataset: Dataset) -> jnp.ndarray:
@@ -585,7 +587,8 @@ class PPCAMix:
             else:
                 step = _mix_em_n_jit if n_variant else _mix_em_jit
             block = block_size_for(
-                max(1, dataset.padded_len // max(1, len(self._models)))
+                max(1, dataset.padded_len // max(1, len(self._models))),
+                max((m.state_size for m in self._models), default=0),
             )
         else:
             from ..parallel.api import fns_for
@@ -594,7 +597,8 @@ class PPCAMix:
             step = fns_for(mesh, use_model)["mix_em_n" if n_variant else "mix_em_step"]
             block = block_size_for(
                 max(1, dataset.padded_len
-                    // (mesh.shape[DATA_AXIS] * max(1, len(self._models))))
+                    // (mesh.shape[DATA_AXIS] * max(1, len(self._models)))),
+                max((m.state_size for m in self._models), default=0),
             )
         return step, block
 

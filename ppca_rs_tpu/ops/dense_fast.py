@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .masked_linalg import LN_2PI, _pad_blocks, _psum, compute_dtype
+from .masked_linalg import LN_2PI, _psum, _scan_blocks, compute_dtype
 
 
 class DensePosterior(NamedTuple):
@@ -146,12 +146,12 @@ def em_stats(C, mean, sigma, data, weights, *, block_size: int,
     d_obs = _psum(jnp.asarray(D_loc, dtype), axis_model)
     logdet_obs = post.logdet + 2.0 * jnp.log(sigma) * (d_obs - k)
     G = post.M - sigma2 * jnp.eye(k, dtype=dtype)     # = C^T C (model-full)
-    _, (data3, w2) = _pad_blocks(n, block_size, data, weights)
 
-    def body(acc, xs):
-        datab, w = xs
+    def body(acc, fresh, datab, w):
         datab = datab.astype(dtype)
-        w = w.astype(dtype)
+        # stale rows (final-window overlap, _scan_blocks) zero their
+        # weight; every statistic below is w-linear.
+        w = w.astype(dtype) * fresh.astype(dtype)
         R = datab - mean[None, :]
         b = _psum(R @ C, axis_model)                            # (B, k)
         s = b @ post.Minv
@@ -174,7 +174,7 @@ def em_stats(C, mean, sigma, data, weights, *, block_size: int,
         return (acc[0] + cross, acc[1] + S_part), (dev_sq, total_dev, w_sum, llk)
 
     zero = (jnp.zeros((D_loc, k), dtype), jnp.zeros((k, k), dtype))
-    (cross, S_part), small = lax.scan(body, zero, (data3, w2))
+    (cross, S_part), small, _ = _scan_blocks(n, block_size, (data, weights), body, zero)
     dev_sq, total_dev, w_sum, llk = (jnp.sum(x, axis=0) for x in small)
 
     S_common = S_part + w_sum * post.Sigma

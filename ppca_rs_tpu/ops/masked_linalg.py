@@ -319,19 +319,59 @@ def _kernel_block(C, CC, mean, sigma, data, mask_f):
     return s_t, SM3, llk[0], sq[0], b_t, rnorm[0], R, d_obs
 
 
-def _pad_blocks(n: int, block_size: int, *arrays):
-    """Pad the leading axis to a block multiple and reshape to (nb, B, ...).
+def _scan_blocks(n: int, block: int, arrays, body, init):
+    """Blocked scan over ``n`` rows WITHOUT copying the inputs.
 
-    Padding rows are all-masked, zero-weight samples, which are exactly
-    neutral in every reduction (see module docstring)."""
-    nb = -(-n // block_size)
-    pad = nb * block_size - n
-    out = []
-    for a in arrays:
-        if pad:
-            a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
-        out.append(a.reshape((nb, block_size) + a.shape[1:]))
-    return nb, out
+    ``body(carry, fresh, *blocks) -> (carry, out)`` runs ceil(n/block)
+    times on (block, ...) row windows dynamic-sliced straight from the
+    original buffers.  When ``block`` doesn't divide ``n`` the FINAL window
+    is the last `block` rows, so its leading rows were already covered by
+    the previous window; ``fresh`` is False exactly there (and on padding
+    rows when n < block).  Reduction bodies must neutralize stale rows by
+    zeroing their mask and weight — all-masked zero-weight rows are exactly
+    neutral in every reduction (the library's padding-row invariant, module
+    docstring).  Per-row OUTPUTS need no neutralization: the returned
+    ``flatten`` drops stale rows when assembling the (n, ...) result.
+
+    This replaces a jnp.pad + reshape layout whose pad COPIED the whole
+    dataset inside the compiled program — a 7.6 GiB HLO temp at N=4M,
+    D=1024 bf16 that OOM'd the 16 GB chip before a single block ran.
+
+    Returns ``(carry, outs, flatten)`` with ``outs`` as stacked by
+    lax.scan (leading dim = number of blocks) and ``flatten(o) -> (n, ...)``.
+    """
+    nb = -(-n // block)
+    if n <= block:
+        pad = block - n
+        blocks = [jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)) for a in arrays]
+        fresh = jnp.arange(block) < n
+        carry, out = body(init, fresh, *blocks)
+        out = jax.tree.map(lambda o: o[None], out)
+
+        def flatten(o):
+            return o.reshape((block,) + o.shape[2:])[:n]
+
+        return carry, out, flatten
+
+    iota = jnp.arange(block, dtype=jnp.int32)
+    starts = jnp.arange(nb, dtype=jnp.int32) * block
+
+    def step(carry, start):
+        actual = jnp.minimum(start, n - block)
+        fresh = iota >= (start - actual)
+        blocks = [lax.dynamic_slice_in_dim(a, actual, block, 0) for a in arrays]
+        return body(carry, fresh, *blocks)
+
+    carry, outs = lax.scan(step, init, starts)
+    pad = nb * block - n
+
+    def flatten(o):
+        flat = o.reshape((nb * block,) + o.shape[2:])
+        if pad == 0:
+            return flat
+        return jnp.concatenate([flat[: (nb - 1) * block], o[-1, pad:]], axis=0)
+
+    return carry, outs, flatten
 
 
 def llks(
@@ -356,10 +396,8 @@ def llks(
     CC = outer_flat(C)
     use_kernel = _use_kernel(k, block_size, cdtype, axis_model, "llk")
     use_blocked = (not use_kernel) and _use_blocked(k, block_size, cdtype, axis_model, "llk")
-    _, (data3, mask3) = _pad_blocks(n, block_size, data, mask)
 
-    def body(_, xs):
-        datab, maskb = xs
+    def body(_, fresh, datab, maskb):
         datab = datab.astype(cdtype)
         mf = maskb.astype(cdtype)
         if use_kernel:
@@ -372,8 +410,8 @@ def llks(
                                use_blocked=use_blocked)
         return None, block_llk(post, sigma, k, axis_model)
 
-    _, out = lax.scan(body, None, (data3, mask3))
-    return out.reshape(-1)[:n]
+    _, out, flatten = _scan_blocks(n, block_size, (data, mask), body, None)
+    return flatten(out)
 
 
 def infer(
@@ -395,10 +433,8 @@ def infer(
     use_kernel = _use_kernel(C.shape[1], block_size, cdtype, axis_model, "infer")
     use_blocked = (not use_kernel) and _use_blocked(
         C.shape[1], block_size, cdtype, axis_model, "infer")
-    _, (data3, mask3) = _pad_blocks(n, block_size, data, mask)
 
-    def body(_, xs):
-        datab, maskb = xs
+    def body(_, fresh, datab, maskb):
         datab = datab.astype(cdtype)
         mf = maskb.astype(cdtype)
         if use_kernel:
@@ -416,10 +452,8 @@ def infer(
                                use_blocked=use_blocked)
         return None, (post.states, block_covariances(post, sigma))
 
-    _, (states, covs) = lax.scan(body, None, (data3, mask3))
-    k = C.shape[1]
-    n_padded = states.shape[0] * states.shape[1]
-    return states.reshape(n_padded, k)[:n], covs.reshape(n_padded, k, k)[:n]
+    _, (states, covs), flatten = _scan_blocks(n, block_size, (data, mask), body, None)
+    return flatten(states), flatten(covs)
 
 
 def states(
@@ -441,10 +475,8 @@ def states(
     CC = outer_flat(C)
     use_kernel = _use_kernel(k, block_size, cdtype, axis_model, "states")
     use_blocked = (not use_kernel) and _use_blocked(k, block_size, cdtype, axis_model, "states")
-    _, (data3, mask3) = _pad_blocks(n, block_size, data, mask)
 
-    def body(_, xs):
-        datab, maskb = xs
+    def body(_, fresh, datab, maskb):
         datab = datab.astype(cdtype)
         mf = maskb.astype(cdtype)
         if use_kernel:
@@ -457,9 +489,8 @@ def states(
                                use_blocked=use_blocked)
         return None, post.states
 
-    _, out = lax.scan(body, None, (data3, mask3))
-    n_padded = out.shape[0] * out.shape[1]
-    return out.reshape(n_padded, k)[:n]
+    _, out, flatten = _scan_blocks(n, block_size, (data, mask), body, None)
+    return flatten(out)
 
 
 class EMStats(NamedTuple):
@@ -503,13 +534,15 @@ def em_stats(
     CC = outer_flat(C)
     use_kernel = _use_kernel(k, block_size, dtype, axis_model, "fullt")
     use_blocked = (not use_kernel) and _use_blocked(k, block_size, dtype, axis_model, "fullt")
-    _, (data3, mask3, w2) = _pad_blocks(n, block_size, data, mask, weights)
 
-    def body(acc, xs):
-        datab, maskb, w = xs
+    def body(acc, fresh, datab, maskb, w):
         datab = datab.astype(dtype)
-        w = w.astype(dtype)
-        mask_f = maskb.astype(dtype)
+        # stale rows (the final window re-reads rows an earlier window
+        # covered — _scan_blocks) are neutralized exactly like padding
+        # rows: zero weight AND zero mask.
+        fr = fresh.astype(dtype)
+        w = w.astype(dtype) * fr
+        mask_f = maskb.astype(dtype) * fr[:, None]
         if use_kernel:
             s_t, SM3, llk_b, sq_b, b_t, rn, R, dob = _kernel_block(
                 C, CC, mean, sigma, datab, mask_f
@@ -566,7 +599,9 @@ def em_stats(
     # tree-reduced by jnp.sum, keeping the dataset llk accurate at 10M+
     # samples in f32.
     zero = (jnp.zeros(C.shape, dtype), jnp.zeros((C.shape[0], k * k), dtype))
-    (cross, S), small = lax.scan(body, zero, (data3, mask3, w2))
+    (cross, S), small, _ = _scan_blocks(
+        n, block_size, (data, mask, weights), body, zero
+    )
     square_error, dev_sq, total_dev, totals, llk = (
         jnp.sum(x, axis=0) for x in small
     )

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import masked_linalg as ml
-from .masked_linalg import LN_2PI, _pad_blocks, _psum
+from .masked_linalg import LN_2PI, _psum, _scan_blocks
 
 
 class MixEMStats(NamedTuple):
@@ -416,24 +416,22 @@ def _block_mix(Cs, CCs, means, sigmas, log_weights, datab, mask_f, w,
                       resp_sum, resp_max, llk_mix)
 
 
-def _mix_prep(Cs, data, block_size, axis_model, *arrays):
+def _mix_prep(Cs, data, block_size, axis_model):
     M, D_loc, k = Cs.shape
     dtype = ml.compute_dtype(data.dtype, Cs.dtype)
     CCs = (Cs[:, :, :, None] * Cs[:, :, None, :]).reshape(M, D_loc, k * k)
     use_kernel = ml._use_kernel(k, block_size, dtype, axis_model)  # full-variant ceiling
-    _, blocks = _pad_blocks(data.shape[0], block_size, data, *arrays)
-    return dtype, CCs, use_kernel, blocks
+    return dtype, CCs, use_kernel
 
 
-def _pat_prep(Cs, means, sigmas, data, block_size, patterns, *arrays):
-    """Loop-invariant prep for the pattern-table readout verbs: tables,
-    hoisted centering operands, padded blocks.  No CC build, no kernel
-    gating — the table path never factors per sample."""
+def _pat_prep(Cs, means, sigmas, data, patterns):
+    """Loop-invariant prep for the pattern-table readout verbs: tables and
+    hoisted centering operands.  No CC build, no kernel gating — the table
+    path never factors per sample."""
     dtype = ml.compute_dtype(data.dtype, Cs.dtype)
     tables = compute_mix_tables(Cs, sigmas, patterns.astype(dtype))
     center = _center_prep(Cs, means)
-    _, blocks = _pad_blocks(data.shape[0], block_size, data, *arrays)
-    return dtype, tables, center, blocks
+    return dtype, tables, center
 
 
 def _lane_major_prep(Cs, means, CCs):
@@ -518,28 +516,24 @@ def mix_llks(Cs, means, sigmas, data, mask, *, block_size: int,
     n = data.shape[0]
     M = Cs.shape[0]
     if pidx is not None:
-        dtype, tables, center, (data3, mask3, pidx3) = _pat_prep(
-            Cs, means, sigmas, data, block_size, patterns, mask, pidx
-        )
+        dtype, tables, center = _pat_prep(Cs, means, sigmas, data, patterns)
 
-        def body_pat(_, xs):
-            datab, maskb, pb = xs
+        def body_pat(_, fresh, datab, maskb, pb):
             _, llks, _, _, _, _, _ = _block_post_pat(
                 Cs, means, sigmas, tables, datab.astype(dtype),
                 maskb.astype(dtype), pb, center=center,
             )
             return None, llks.T
 
-        _, out = lax.scan(body_pat, None, (data3, mask3, pidx3))
-        return out.reshape(-1, M)[:n]
+        _, out, flatten = _scan_blocks(
+            n, block_size, (data, mask, pidx), body_pat, None
+        )
+        return flatten(out)
 
-    dtype, CCs, use_kernel, (data3, mask3) = _mix_prep(
-        Cs, data, block_size, axis_model, mask
-    )
+    dtype, CCs, use_kernel = _mix_prep(Cs, data, block_size, axis_model)
     lane_prep = _lane_major_prep(Cs, means, CCs) if use_kernel else None
 
-    def body(_, xs):
-        datab, maskb = xs
+    def body(_, fresh, datab, maskb):
         if use_kernel:
             llks, _, _ = _block_llks_kernel(
                 lane_prep, means, sigmas, datab.astype(dtype),
@@ -552,8 +546,8 @@ def mix_llks(Cs, means, sigmas, data, mask, *, block_size: int,
             )
         return None, llks.T                                   # (B, M)
 
-    _, out = lax.scan(body, None, (data3, mask3))
-    return out.reshape(-1, M)[:n]
+    _, out, flatten = _scan_blocks(n, block_size, (data, mask), body, None)
+    return flatten(out)
 
 
 def mix_infer(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
@@ -567,27 +561,25 @@ def mix_infer(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
     n = data.shape[0]
     M, _, k = Cs.shape
     if pidx is not None:
-        dtype, tables, center, (data3, mask3, pidx3) = _pat_prep(
-            Cs, means, sigmas, data, block_size, patterns, mask, pidx
-        )
+        dtype, tables, center = _pat_prep(Cs, means, sigmas, data, patterns)
 
-        def body_pat(_, xs):
-            datab, maskb, pb = xs
+        def body_pat(_, fresh, datab, maskb, pb):
             _, llks, s, Sig_b, _, _, _ = _block_post_pat(
                 Cs, means, sigmas, tables, datab.astype(dtype),
                 maskb.astype(dtype), pb, center=center,
             )
-            return None, (llks.T, s, Sig_b.reshape(M, -1, k, k))
+            # block dim leading so _scan_blocks' flatten applies directly
+            return None, (llks.T, jnp.moveaxis(s, 1, 0),
+                          jnp.moveaxis(Sig_b.reshape(M, -1, k, k), 1, 0))
 
-        _, (llks, s, covs) = lax.scan(body_pat, None, (data3, mask3, pidx3))
-    else:
-        dtype, CCs, use_kernel, (data3, mask3) = _mix_prep(
-            Cs, data, block_size, axis_model, mask
+        _, (llks, s, covs), flatten = _scan_blocks(
+            n, block_size, (data, mask, pidx), body_pat, None
         )
+    else:
+        dtype, CCs, use_kernel = _mix_prep(Cs, data, block_size, axis_model)
         lane_prep = _lane_major_prep(Cs, means, CCs) if use_kernel else None
 
-        def body(_, xs):
-            datab, maskb = xs
+        def body(_, fresh, datab, maskb):
             if use_kernel:
                 # lane-major block: no (M, B, D) centered-data temporary
                 # (round 3; the same rework that won +23% on the EM block)
@@ -595,23 +587,25 @@ def mix_infer(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
                     lane_prep, means, sigmas, datab.astype(dtype),
                     maskb.astype(dtype), axis_model, "infer",
                 )
-                return None, (llks.T, s, Sig)
-            _, llks, s, Sig, _ = _block_post(
-                Cs, CCs, means, sigmas, datab.astype(dtype), maskb.astype(dtype),
-                False, axis_model, "infer",
-            )
-            return None, (llks.T, s, Sig.reshape(M, -1, k, k))
+            else:
+                _, llks, s, Sig, _ = _block_post(
+                    Cs, CCs, means, sigmas, datab.astype(dtype), maskb.astype(dtype),
+                    False, axis_model, "infer",
+                )
+                Sig = Sig.reshape(M, -1, k, k)
+            return None, (llks.T, jnp.moveaxis(s, 1, 0), jnp.moveaxis(Sig, 1, 0))
 
-        _, (llks, s, covs) = lax.scan(body, None, (data3, mask3))
-    n_pad = llks.shape[0] * llks.shape[1]
-    log_post = llks.reshape(n_pad, M) + log_weights[None, :]
+        _, (llks, s, covs), flatten = _scan_blocks(
+            n, block_size, (data, mask), body, None
+        )
+    log_post = flatten(llks) + log_weights[None, :]
     mx = jnp.max(log_post, axis=-1, keepdims=True)
     log_post = log_post - mx - jnp.log(
         jnp.sum(jnp.exp(log_post - mx), axis=-1, keepdims=True)
     )
-    states = jnp.moveaxis(s, 1, 0).reshape(M, n_pad, k)[:, :n]
-    covs = jnp.moveaxis(covs, 1, 0).reshape(M, n_pad, k, k)[:, :n]
-    return log_post[:n], states, covs
+    states = jnp.moveaxis(flatten(s), 1, 0)
+    covs = jnp.moveaxis(flatten(covs), 1, 0)
+    return log_post, states, covs
 
 
 def mix_smooth(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
@@ -622,22 +616,14 @@ def mix_smooth(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
     one pass: no (M, N, ...) intermediate ever materializes."""
     n = data.shape[0]
     if pidx is not None:
-        dtype, tables, center, (data3, mask3, pidx3) = _pat_prep(
-            Cs, means, sigmas, data, block_size, patterns, mask, pidx
-        )
+        dtype, tables, center = _pat_prep(Cs, means, sigmas, data, patterns)
         use_kernel = False
         lane_prep = None
     else:
-        dtype, CCs, use_kernel, (data3, mask3) = _mix_prep(
-            Cs, data, block_size, axis_model, mask
-        )
+        dtype, CCs, use_kernel = _mix_prep(Cs, data, block_size, axis_model)
         lane_prep = _lane_major_prep(Cs, means, CCs) if use_kernel else None
 
-    def body(_, xs):
-        if pidx is not None:
-            datab, maskb, pb = xs
-        else:
-            datab, maskb = xs
+    def body(_, fresh, datab, maskb, pb=None):
         datab = datab.astype(dtype)
         mask_f = maskb.astype(dtype)
         if pidx is not None:
@@ -665,9 +651,9 @@ def mix_smooth(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
             sm = jnp.where(maskb, datab, sm)
         return None, sm
 
-    xs = (data3, mask3, pidx3) if pidx is not None else (data3, mask3)
-    _, out = lax.scan(body, None, xs)
-    return out.reshape(-1, data.shape[1])[:n]
+    arrays = (data, mask, pidx) if pidx is not None else (data, mask)
+    _, out, flatten = _scan_blocks(n, block_size, arrays, body, None)
+    return flatten(out)
 
 
 def _logsumexp0(x):
@@ -686,7 +672,6 @@ def mix_em_stats(Cs, means, sigmas, log_weights, data, mask, weights, *,
     dtype = ml.compute_dtype(data.dtype, Cs.dtype)
     CCs = (Cs[:, :, :, None] * Cs[:, :, None, :]).reshape(M, D_loc, k * k)
     use_kernel = ml._use_kernel(k, block_size, dtype, axis_model, "fullt")
-    _, (data3, mask3, w2) = _pad_blocks(n, block_size, data, mask, weights)
 
     # config.mix_exact_rnorm: the lane-major fast block's expanded rnorm
     # quadratic cancels ~O(separation^2); the R-materializing _block_mix
@@ -702,24 +687,27 @@ def mix_em_stats(Cs, means, sigmas, log_weights, data, mask, weights, *,
         CCs_t = jnp.transpose(CCs, (2, 0, 1)).reshape(k * k * M, D_loc)
         dm2 = dm * dm
 
-    def body(acc, xs):
-        datab, maskb, w = xs
+    def body(acc, fresh, datab, maskb, w):
+        # stale rows (the final window overlap, _scan_blocks) zero their
+        # weight: every MixEMStats field is responsibility(= w post)-linear.
+        w = w.astype(dtype) * fresh.astype(dtype)
         if use_fast:
             new = _block_mix_fast(Cs, Cs_t, Cdm_t, CCs_t, mean0, dm, dm2,
                                   sigmas, log_weights, datab.astype(dtype),
-                                  maskb.astype(dtype), w.astype(dtype),
-                                  use_kernel)
+                                  maskb.astype(dtype), w, use_kernel)
         else:
             new = _block_mix(Cs, CCs, means, sigmas, log_weights,
                              datab.astype(dtype), maskb.astype(dtype),
-                             w.astype(dtype), use_kernel, axis_model)
+                             w, use_kernel, axis_model)
         big = (acc[0] + new.cross, acc[1] + new.S)
         small = (new.square_error, new.dev_sq, new.total_dev, new.totals,
                  new.resp_sum, new.resp_max, new.llk)
         return big, small
 
     zero = (jnp.zeros((M, D_loc, k), dtype), jnp.zeros((M, D_loc, k * k), dtype))
-    (cross, S), small = lax.scan(body, zero, (data3, mask3, w2))
+    (cross, S), small, _ = _scan_blocks(
+        n, block_size, (data, mask, weights), body, zero
+    )
     (square_error, dev_sq, total_dev, totals, resp_sum, llk) = (
         jnp.sum(x, axis=0)
         for x in (small[0], small[1], small[2], small[3], small[4], small[6])
@@ -753,13 +741,13 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
     # per-component residual, so rnorm (hence llks/dev_sq) avoids the
     # expanded quadratic's O(separation^2) cancellation (see _block_mix_fast).
     post_center = None if config.mix_exact_rnorm else center
-    _, (data3, mask3, pidx3, w2) = _pad_blocks(n, block_size, data, mask, pidx, weights)
 
-    def body(acc, xs):
-        datab, maskb, pb, w = xs
+    def body(acc, fresh, datab, maskb, pb, w):
         datab = datab.astype(dtype)
         mask_f = maskb.astype(dtype)
-        w = w.astype(dtype)
+        # stale rows (final-window overlap) zero their weight; every
+        # statistic below is responsibility(= w post)-linear.
+        w = w.astype(dtype) * fresh.astype(dtype)
         B = datab.shape[0]
         # center => no (M, B, D) R; b/rnorm come from shared matmuls against
         # mask*(data - mean0) and mask (see _block_post_pat).
@@ -835,7 +823,9 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
         jnp.zeros(souter_shape, dtype),
         jnp.zeros((M, P), dtype),
     )
-    (cross, Souter, wsum), small = lax.scan(body, zero, (data3, mask3, pidx3, w2))
+    (cross, Souter, wsum), small, _ = _scan_blocks(
+        n, block_size, (data, mask, pidx, weights), body, zero
+    )
     square_error, dev_sq, total_dev, resp_sum, llk = (
         jnp.sum(x, axis=0)
         for x in (small[0], small[1], small[2], small[3], small[5])

@@ -39,7 +39,7 @@ from jax import lax
 from jax.scipy.linalg import cho_solve
 
 from . import masked_linalg as ml
-from .masked_linalg import LN_2PI, _pad_blocks
+from .masked_linalg import LN_2PI, _scan_blocks
 
 
 class PatternTables(NamedTuple):
@@ -120,17 +120,15 @@ def llks(C, mean, sigma, data, mask, pidx, patterns, *, block_size: int) -> jax.
     n = data.shape[0]
     cdtype = ml.compute_dtype(data.dtype, C.dtype)
     tables = compute_tables(C, sigma, patterns.astype(cdtype))
-    _, (data3, mask3, pidx3) = _pad_blocks(n, block_size, data, mask, pidx)
 
-    def body(_, xs):
-        datab, maskb, pb = xs
+    def body(_, fresh, datab, maskb, pb):
         _, _, _, llk = _block_states_llk(
             C, mean, sigma, tables, datab.astype(cdtype), maskb.astype(cdtype), pb
         )
         return None, llk
 
-    _, out = lax.scan(body, None, (data3, mask3, pidx3))
-    return out.reshape(-1)[:n]
+    _, out, flatten = _scan_blocks(n, block_size, (data, mask, pidx), body, None)
+    return flatten(out)
 
 
 def states(C, mean, sigma, data, mask, pidx, patterns, *, block_size: int) -> jax.Array:
@@ -139,17 +137,15 @@ def states(C, mean, sigma, data, mask, pidx, patterns, *, block_size: int) -> ja
     k = C.shape[1]
     cdtype = ml.compute_dtype(data.dtype, C.dtype)
     tables = compute_tables(C, sigma, patterns.astype(cdtype))
-    _, (data3, mask3, pidx3) = _pad_blocks(n, block_size, data, mask, pidx)
 
-    def body(_, xs):
-        datab, maskb, pb = xs
+    def body(_, fresh, datab, maskb, pb):
         _, _, s, _ = _block_states_llk(
             C, mean, sigma, tables, datab.astype(cdtype), maskb.astype(cdtype), pb
         )
         return None, s
 
-    _, out = lax.scan(body, None, (data3, mask3, pidx3))
-    return out.reshape(out.shape[0] * out.shape[1], k)[:n]
+    _, out, flatten = _scan_blocks(n, block_size, (data, mask, pidx), body, None)
+    return flatten(out)
 
 
 def infer(C, mean, sigma, data, mask, pidx, patterns, *, block_size: int):
@@ -160,18 +156,15 @@ def infer(C, mean, sigma, data, mask, pidx, patterns, *, block_size: int):
     k = C.shape[1]
     cdtype = ml.compute_dtype(data.dtype, C.dtype)
     tables = compute_tables(C, sigma, patterns.astype(cdtype))
-    _, (data3, mask3, pidx3) = _pad_blocks(n, block_size, data, mask, pidx)
 
-    def body(_, xs):
-        datab, maskb, pb = xs
+    def body(_, fresh, datab, maskb, pb):
         _, _, s, _ = _block_states_llk(
             C, mean, sigma, tables, datab.astype(cdtype), maskb.astype(cdtype), pb
         )
-        return None, (s, jnp.take(tables.Sigma, pb, axis=0))
+        return None, (s, jnp.take(tables.Sigma, pb, axis=0).reshape(-1, k, k))
 
-    _, (s, covs) = lax.scan(body, None, (data3, mask3, pidx3))
-    np_ = s.shape[0] * s.shape[1]
-    return s.reshape(np_, k)[:n], covs.reshape(np_, k, k)[:n]
+    _, (s, covs), flatten = _scan_blocks(n, block_size, (data, mask, pidx), body, None)
+    return flatten(s), flatten(covs)
 
 
 def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
@@ -194,13 +187,13 @@ def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
     P = patterns_f.shape[0]
     tables = compute_tables(C, sigma, patterns_f)
     group_outer = P <= D  # one-hot grouping beats the direct (D,B)x(B,k^2)
-    _, (data3, mask3, pidx3, w2) = _pad_blocks(n, block_size, data, mask, pidx, weights)
 
-    def body(acc, xs):
-        datab, maskb, pb, w = xs
+    def body(acc, fresh, datab, maskb, pb, w):
         datab = datab.astype(dtype)
         mask_f = maskb.astype(dtype)
-        w = w.astype(dtype)
+        # stale rows (final-window overlap, _scan_blocks) zero their
+        # weight; every statistic below is w-linear.
+        w = w.astype(dtype) * fresh.astype(dtype)
         R, b, s, llk_b = _block_states_llk(C, mean, sigma, tables, datab, mask_f, pb)
 
         sw = s * w[:, None]
@@ -240,7 +233,9 @@ def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
         jnp.zeros(souter_shape, dtype),
         jnp.zeros((P,), dtype),
     )
-    (cross, Souter, wsum), small = lax.scan(body, zero, (data3, mask3, pidx3, w2))
+    (cross, Souter, wsum), small, _ = _scan_blocks(
+        n, block_size, (data, mask, pidx, weights), body, zero
+    )
     dev_sq, total_dev, llk = (jnp.sum(x, axis=0) for x in small)
 
     # Assemble the pattern-grouped statistics with single (D, P) contractions.

@@ -120,7 +120,7 @@ def _chunk_stats(model: PPCAModel, ds: Dataset) -> ml.EMStats:
     mesh = _data_mesh_or_raise(ds)
     args = (model._transform, model._mean, model._isotropic_noise)
     if mesh is None:
-        block = block_size_for(ds.padded_len)
+        block = block_size_for(ds.padded_len, model.state_size)
         if ds.all_observed():
             return _stats_dense_jit(*args, ds.data, ds.weights_dev, block)
         pat = ds.pattern_info()
@@ -131,7 +131,8 @@ def _chunk_stats(model: PPCAModel, ds: Dataset) -> ml.EMStats:
 
     from .parallel.api import fns_for
 
-    block = block_size_for(max(1, ds.padded_len // mesh.shape[DATA_AXIS]))
+    block = block_size_for(max(1, ds.padded_len // mesh.shape[DATA_AXIS]),
+                           model.state_size)
     if ds.all_observed():
         return _dense_to_masked_stats(
             fns_for(mesh, False, dense=True)["em_stats"](
@@ -255,7 +256,8 @@ def _mix_chunk_stats(mix, Cs, means, sigmas, ds: Dataset):
 
     mesh = _data_mesh_or_raise(ds)
     if mesh is None:
-        block = block_size_for(max(1, ds.padded_len // max(1, len(mix._models))))
+        block = block_size_for(max(1, ds.padded_len // max(1, len(mix._models))),
+                               int(Cs.shape[2]))
         pat = mix._pattern(ds)
         if pat is not None:
             return _mix_stats_pat_jit(
@@ -269,7 +271,8 @@ def _mix_chunk_stats(mix, Cs, means, sigmas, ds: Dataset):
     from .parallel.api import fns_for
 
     block = block_size_for(
-        max(1, ds.padded_len // (mesh.shape[DATA_AXIS] * max(1, len(mix._models))))
+        max(1, ds.padded_len // (mesh.shape[DATA_AXIS] * max(1, len(mix._models)))),
+        int(Cs.shape[2]),
     )
     return fns_for(mesh, False)["mix_em_stats"](
         Cs, means, sigmas, mix._log_weights,
