@@ -50,6 +50,15 @@ class Config:
     #: unaffected either way).
     mix_exact_rnorm: bool = False
 
+    #: Contract the M-step S statistic against only the VALID block-wedge of
+    #: the kernel's want="fullt" second moments (row-blocks [r0:r1) of SM
+    #: hold valid entries in cols [:r1] only — the strict upper wedge beyond
+    #: the diagonal block is garbage em_finalize discards anyway).  Slab
+    #: dot_generals cut that contraction's flops and the SM HBM re-read to
+    #: ~0.6x at k=64.  Only affects the kernel-routed masked em_stats path;
+    #: numerics are exactly the tril+tril^T semantics either way.
+    s_slab_stats: bool = False
+
     #: Route state sizes past the fused kernel's VMEM ceiling through the
     #: blocked Schur-complement inverse (ops/block_spd.py): batched MXU
     #: matmuls + Pallas base blocks, size-generic in k.  When False those
@@ -78,6 +87,8 @@ if os.environ.get("PPCA_RS_TPU_NO_NATIVE"):
     config.use_native = False
 if os.environ.get("PPCA_RS_TPU_NO_BLOCKED_LARGE_K"):
     config.use_blocked_large_k = False
+if os.environ.get("PPCA_RS_TPU_S_SLAB_STATS"):
+    config.s_slab_stats = True
 if os.environ.get("PPCA_RS_TPU_MIX_EXACT_RNORM"):
     config.mix_exact_rnorm = True
 if os.environ.get("PPCA_RS_TPU_MATMUL_PRECISION"):

@@ -319,6 +319,34 @@ def _kernel_block(C, CC, mean, sigma, data, mask_f):
     return s_t, SM3, llk[0], sq[0], b_t, rnorm[0], R, d_obs
 
 
+def _sm_slabs(k: int, rb: int = 16):
+    """Row-block slabs [(r0, r1, cw)] of the (k, k) second moment that are
+    VALID under the kernel's want="fullt" contract: row-block [r0, r1) holds
+    correct entries in cols [:cw] (cw = r1 clipped to k) — the lower wedge
+    plus the diagonal block's interior, i.e. exactly the entries
+    em_finalize's tril + tril^T reconstruction reads.  rb matches the
+    kernel's TRI_RB_MAIN write granularity (any multiple works — validity
+    only improves with coarser slabs)."""
+    return [(r0, min(r0 + rb, k), min(r0 + rb, k)) for r0 in range(0, k, rb)]
+
+
+def _s_packed_width(k: int) -> int:
+    return sum((r1 - r0) * cw for r0, r1, cw in _sm_slabs(k))
+
+
+def _s_unpack(S_packed: jax.Array, k: int) -> jax.Array:
+    """(D, packed) slab-packed S statistic -> the standard (D, k*k) layout
+    (entries outside the slabs are zero; em_finalize only reads tril)."""
+    D = S_packed.shape[0]
+    parts, off = [], 0
+    for r0, r1, cw in _sm_slabs(k):
+        width = (r1 - r0) * cw
+        blk = S_packed[:, off : off + width].reshape(D, r1 - r0, cw)
+        parts.append(jnp.pad(blk, ((0, 0), (0, 0), (0, k - cw))))
+        off += width
+    return jnp.concatenate(parts, axis=1).reshape(D, k * k)
+
+
 def _scan_blocks(n: int, block: int, arrays, body, init):
     """Blocked scan over ``n`` rows WITHOUT copying the inputs.
 
@@ -534,6 +562,9 @@ def em_stats(
     CC = outer_flat(C)
     use_kernel = _use_kernel(k, block_size, dtype, axis_model, "fullt")
     use_blocked = (not use_kernel) and _use_blocked(k, block_size, dtype, axis_model, "fullt")
+    from ..config import config
+
+    slab = use_kernel and config.s_slab_stats
 
     def body(acc, fresh, datab, maskb, w):
         datab = datab.astype(dtype)
@@ -547,10 +578,27 @@ def em_stats(
             s_t, SM3, llk_b, sq_b, b_t, rn, R, dob = _kernel_block(
                 C, CC, mean, sigma, datab, mask_f
             )
-            SM_t = SM3.reshape(k * k, -1)
             sw_t = s_t * w[None, :]
             cross = lax.dot_general(R, sw_t, (((0,), (1,)), ((), ())))
-            S = lax.dot_general(mask_f * w[:, None], SM_t, (((0,), (1,)), ((), ())))
+            mw = mask_f * w[:, None]
+            if slab:
+                # contract only the valid block-wedge slabs of the fullt
+                # SM (strict upper wedge beyond the diagonal blocks is
+                # garbage that tril discards anyway): ~0.6x the flops and
+                # SM re-read at k=64.  Accumulated packed; unpacked to the
+                # (D, k*k) EMStats layout once, after the scan.
+                S = jnp.concatenate(
+                    [
+                        lax.dot_general(
+                            mw, SM3[r0:r1, :cw, :], (((0,), (2,)), ((), ()))
+                        ).reshape(mw.shape[1], -1)
+                        for r0, r1, cw in _sm_slabs(k)
+                    ],
+                    axis=1,
+                )
+            else:
+                SM_t = SM3.reshape(k * k, -1)
+                S = lax.dot_general(mw, SM_t, (((0,), (1,)), ((), ())))
             square_error = jnp.sum(w * sq_b)
             # No residual materialization: with M s = b and G = M - sigma^2 I,
             # s^T G s = b.s - sigma^2 |s|^2 exactly, so the masked residual
@@ -598,10 +646,13 @@ def em_stats(
     # terms); the scalar and (D,)-vector statistics are stacked per block and
     # tree-reduced by jnp.sum, keeping the dataset llk accurate at 10M+
     # samples in f32.
-    zero = (jnp.zeros(C.shape, dtype), jnp.zeros((C.shape[0], k * k), dtype))
+    s_width = _s_packed_width(k) if slab else k * k
+    zero = (jnp.zeros(C.shape, dtype), jnp.zeros((C.shape[0], s_width), dtype))
     (cross, S), small, _ = _scan_blocks(
         n, block_size, (data, mask, weights), body, zero
     )
+    if slab:
+        S = _s_unpack(S, k)
     square_error, dev_sq, total_dev, totals, llk = (
         jnp.sum(x, axis=0) for x in small
     )

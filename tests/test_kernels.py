@@ -423,3 +423,41 @@ def test_kernel_routed_em_stats_matches_xla(rng, monkeypatch):
     assert rel(got.total_dev, ref.total_dev) < 1e-3
     assert rel(got.totals, ref.totals) < 1e-6
     assert rel(got.llk, ref.llk) < 1e-5
+
+
+def test_kernel_em_stats_s_slab_matches(rng, monkeypatch):
+    """The slab-packed S contraction (config.s_slab_stats: contract only the
+    valid block-wedge of the fullt SM, unpack after the scan) == the full
+    contraction, exactly where tril reads, for k below/at/above one slab and
+    k not a multiple of the slab width."""
+    import functools
+
+    from ppca_rs_tpu.config import config
+
+    monkeypatch.setattr(
+        kernels, "spd_estep", functools.partial(kernels.spd_estep, interpret=True)
+    )
+    monkeypatch.setattr(ml, "_use_kernel", lambda *a: True)
+    for k in (8, 16, 24, 37, 48):
+        B, D = 256, 64
+        C = jnp.asarray(rng.normal(size=(D, k)), jnp.float32)
+        mean = jnp.asarray(rng.normal(size=D), jnp.float32)
+        sig = jnp.float32(0.8)
+        data = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, D)) > 0.4)
+        mask = mask.at[1].set(False)
+        data = jnp.where(mask, data, 0.0)
+        w = jnp.asarray(rng.random(B) + 0.5, jnp.float32)
+
+        monkeypatch.setattr(config, "s_slab_stats", False)
+        ref = ml.em_stats(C, mean, sig, data, mask, w, block_size=128)
+        monkeypatch.setattr(config, "s_slab_stats", True)
+        got = ml.em_stats(C, mean, sig, data, mask, w, block_size=128)
+
+        tril = np.tril(np.ones((k, k)))
+        S_ref = np.asarray(ref.S, np.float64).reshape(D, k, k) * tril
+        S_got = np.asarray(got.S, np.float64).reshape(D, k, k) * tril
+        np.testing.assert_allclose(S_got, S_ref, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got.cross), np.asarray(ref.cross),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(got.llk), float(ref.llk), rtol=1e-6)

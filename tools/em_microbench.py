@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--miss", type=float, default=None)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--mix-want", default=None, choices=["full", "fullt"])
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                    help="value-STORAGE dtype for data (math always >= f32)")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +63,8 @@ def main():
     else:
         mask = jax.random.uniform(kmask, (N, D)) >= miss
     data = jnp.where(mask, data, 0.0)
+    if args.dtype == "bfloat16":
+        data = data.astype(jnp.bfloat16)
     w = jnp.ones((N,), jnp.float32)
     BS = 8192
 
@@ -183,6 +187,7 @@ def main():
     t1, t2 = best(run1), best(run2)
     per_iter = (t2 - t1) / r
     extra = f" mix_want={mf.EM_WANT}" if args.path == "mix" else ""
+    extra += f" dtype={args.dtype}" if args.dtype != "float32" else ""
     print(f"path={args.path} D={D} k={k} N={N} miss={miss}{extra}: "
           f"{per_iter*1e3:.2f} ms/iter -> {N/per_iter/1e6:.3f}M samples/s")
 
