@@ -29,6 +29,15 @@ from .utils.serialization import dump_bytes, load_bytes
 from .native import packing as _packing
 
 
+@jax.jit
+def _n_incomplete_rows(mask):
+    """Number of rows with at least one masked entry — the all_observed
+    probe.  Row-counted (<= N, int32-exact) because an observed-ENTRY count
+    wraps int32 at N*D >= 2^31; jitted so no (N, D) temporary materializes
+    and sharded/global masks reduce in place."""
+    return jnp.sum(jnp.any(~mask, axis=1), dtype=jnp.int32)
+
+
 @functools.lru_cache(maxsize=16)
 def _hash_powers(d: int) -> np.ndarray:
     """(d, 2) int32 matrix of [m^(d-1), ..., m, 1] mod 2^32 (wrapped to
@@ -89,14 +98,17 @@ def _pattern_counts(pidx, mask, *, P):
     over rows so the one-hot temporary stays bounded.
 
     The matmul is exact: 0/1 inputs and each block's f32 accumulation is an
-    integer <= the block size < 2^24; blocks are summed in int32.  Rows of
+    integer <= the block size <= 2^24 (every such integer is f32-exact);
+    blocks are summed in int32.  Rows of
     the final (clamped) block that earlier blocks already counted are routed
     to a scratch group P that is dropped on return.  The block size bounds
     BOTH f32 temporaries — the (step, P+1) one-hot and the (step, d) cast
     mask — at ~256 MB (P can reach config.pattern_max=4096, where a 2^20
     block's one-hot alone would be 16 GB)."""
     n, d = mask.shape
-    step = min(n, max(8192, (1 << 26) // max(d, P + 1)))
+    # <= 2^24 keeps every per-block f32 count exactly representable even
+    # when tiny D/P would let the memory bound admit 2^25-row blocks.
+    step = min(n, 1 << 24, max(8192, (1 << 26) // max(d, P + 1)))
     nb = -(-n // step)
     starts = jnp.arange(nb, dtype=jnp.int32) * step
     iota = jnp.arange(step, dtype=jnp.int32)
@@ -262,8 +274,13 @@ class Dataset:
             if self.is_empty():
                 self._all_observed = True
             else:
-                observed = int(jnp.sum(self.mask))
-                self._all_observed = observed == len(self) * int(self.data.shape[1])
+                # Counted as not-fully-observed ROWS (bounded by N, exact in
+                # int32) rather than observed ENTRIES: an entry count
+                # overflows int32 at N*D >= 2^31 — e.g. N=4M, D=1024 — and
+                # would silently skip the dense fast path.  Padding rows are
+                # all-masked, so they count as exactly padded_len - len.
+                bad = int(_n_incomplete_rows(self.mask))
+                self._all_observed = bad == self.padded_len - len(self)
         return self._all_observed
 
     def pattern_info(self, include_dense: bool = False):
@@ -319,9 +336,10 @@ class Dataset:
         # pattern_info is a host-local lazy call that other processes may
         # reach at different times, so it cannot launch collectives; without
         # a prior detect_patterns() a multi-host dataset takes the general
-        # path (correct, just without the dedup speedup).
+        # path (correct, just without the dedup speedup).  NOT cached: a
+        # cached False would make a LATER (documented) detect_patterns()
+        # call a silent no-op — the demotion must stay re-checkable.
         if jax.process_count() > 1:
-            self._patterns = False
             return None
         sharded = len(self.mask.sharding.device_set) > 1
         mesh = None
@@ -358,11 +376,8 @@ class Dataset:
         if self.is_empty() or n < 2 * config.pattern_min_ratio:
             self._patterns = False
             return None
-        if self._all_observed is None:
-            # all_observed()'s eager reduction is not legal on a
-            # non-fully-addressable global array; jit it (replicated scalar)
-            observed = int(jax.jit(jnp.sum)(self.mask))
-            self._all_observed = observed == len(self) * int(self.data.shape[1])
+        # all_observed() is jitted, so its reduction is legal on a
+        # non-fully-addressable global array too.
         if self.all_observed():
             if include_dense:
                 from jax.sharding import NamedSharding, PartitionSpec

@@ -164,6 +164,19 @@ def _inv_logdet(M, base_fn: Callable, base: int):
     return jnp.concatenate([top, bot], axis=-2), ldA + ldS
 
 
+def solve_psd(S_sq: jax.Array, rhs: jax.Array, lam) -> jax.Array:
+    """Batched ``(S[d] + lam I) x = rhs[d]`` through the blocked inverse —
+    the shared M-step row solve for state sizes past the kernel ceiling
+    (masked_linalg.em_finalize / mix_fused.mix_em_finalize).  ``S_sq`` is
+    (B, k, k) symmetric PSD, ``rhs`` (B, k).  A singular row (e.g. an empty
+    dimension with lam = 0) yields non-finite entries for that row exactly
+    like the LU path, taking the caller's keep-old-row fallback."""
+    k = S_sq.shape[-1]
+    A = S_sq + jnp.asarray(lam, S_sq.dtype) * jnp.eye(k, dtype=S_sq.dtype)
+    Ainv, _ = inv_logdet(A)
+    return mm_hp(Ainv, rhs[..., None])[..., 0]
+
+
 def inv_logdet(
     M: jax.Array,
     *,

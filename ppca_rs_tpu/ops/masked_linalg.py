@@ -707,15 +707,12 @@ def em_finalize(
             # batch to a lane multiple itself, so D_loc need not be aligned)
             sol = _kernel_rows_solve(S_sq, stats.cross, transformation_precision)
         elif (not under_vmap) and _use_blocked(k, 128, dtype, None, "states"):
-            # Past the kernel's "states" ceiling: invert through the blocked
-            # Schur path (A is PSD; a singular row — e.g. an empty dimension
-            # with lambda = 0 — yields non-finite entries exactly like the
-            # LU path and takes the same keep-old-row fallback below).
+            # Past the kernel's "states" ceiling: the blocked Schur solve
+            # (singular rows go non-finite and take the keep-old-row
+            # fallback below, exactly like the LU path).
             from . import block_spd
 
-            A = S_sq + transformation_precision * jnp.eye(k, dtype=dtype)
-            Ainv, _ = block_spd.inv_logdet(A)
-            sol = block_spd.mm_hp(Ainv, stats.cross[..., None])[..., 0]
+            sol = block_spd.solve_psd(S_sq, stats.cross, transformation_precision)
         else:
             A = S_sq + transformation_precision * jnp.eye(k, dtype=dtype)
             sol = jnp.linalg.solve(A, stats.cross[..., None])[..., 0]

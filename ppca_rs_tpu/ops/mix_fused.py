@@ -902,11 +902,9 @@ def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
             cr_sc = stats.cross * inv_scale[:, None, None]
             S_sq = S_sc.reshape(M * D_loc, k, k)
             S_sq = jnp.tril(S_sq) + jnp.swapaxes(jnp.tril(S_sq, -1), -1, -2)
-            A = S_sq + transformation_precision * jnp.eye(k, dtype=Cs.dtype)
-            Ainv, _ = block_spd.inv_logdet(A)
-            rows_pre = block_spd.mm_hp(
-                Ainv, cr_sc.reshape(M * D_loc, k)[..., None]
-            )[..., 0].reshape(M, D_loc, k)
+            rows_pre = block_spd.solve_psd(
+                S_sq, cr_sc.reshape(M * D_loc, k), transformation_precision
+            ).reshape(M, D_loc, k)
         if rows_pre is not None:
             new_Cs, new_means, new_sigmas = jax.vmap(finalize_vmapped)(
                 Cs, means, sigmas, stats.cross, stats.S, stats.square_error,

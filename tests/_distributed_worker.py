@@ -77,6 +77,11 @@ def main():
     half2 = pdata.shape[0] // 2
     local2 = Dataset(pdata[pid * half2 : (pid + 1) * half2])
     ds2 = distributed.shard_dataset_local(local2, mesh)
+    # A lazy pattern_info() first (as any pre-detection verb would trigger):
+    # it must demote WITHOUT caching, so the explicit collective
+    # detect_patterns() below still runs (regression: a cached False made it
+    # a permanent no-op).
+    assert ds2.pattern_info() is None
     info = ds2.detect_patterns()
     assert info is not None, "collective pattern detection demoted"
     n_patterns = int(info[1].shape[0])

@@ -61,18 +61,20 @@ def main():
     def old_block(data, mask):
         """Round-2 body: _block_post(use_kernel=True) materializes the
         (M, B, D) per-component residual before the kernel call."""
-        dtype, CCs, use_kernel, (d3, m3) = mf._mix_prep(Cs, data, B, None, mask)
+        from ppca_rs_tpu.ops import masked_linalg as ml
 
-        def body(_, xs):
-            db, mb = xs
+        dtype, CCs, use_kernel = mf._mix_prep(Cs, data, B, None)
+
+        def body(_, fresh, db, mb):
+            mb_f = mb.astype(dtype) * fresh.astype(dtype)[:, None]
             _, llks, s, Sig, _ = mf._block_post(
-                Cs, CCs, means, sigmas, db.astype(dtype), mb.astype(dtype),
+                Cs, CCs, means, sigmas, db.astype(dtype), mb_f,
                 use_kernel, None, "infer",
             )
-            return None, (llks.T, s, Sig.reshape(M, -1, k, k))
+            return None, (llks, s, Sig)
 
-        _, (llks, s, covs) = lax.scan(body, None, (d3, m3))
-        return llks, s, covs
+        _, outs, _ = ml._scan_blocks(N, B, (data, mask), body, None)
+        return outs
 
     for name, blk in (("old _block_post", old_block), ("new lane-major", new_block)):
         fac = make(blk)
