@@ -1,0 +1,16 @@
+#!/bin/bash
+# One-shot TPU measurement batch for the round-3 perf decisions:
+#   (a) the e2e-vs-marginal gap at the headline N=1M,
+#   (b) the slab-packed S contraction (config.s_slab_stats) A/B,
+#   (c) bf16 value storage A/B (marginal + end-to-end),
+# plus the verify-skill TPU example. Run from /root/repo with the tunnel up.
+set -x
+cd /root/repo
+timeout 900 python bench.py 2>&1 | tail -3
+timeout 900 python tools/em_microbench.py --path masked --n 1048576 --reps 2 2>&1 | tail -2
+timeout 900 env PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path masked --n 1048576 --reps 2 2>&1 | tail -2
+timeout 900 python tools/em_microbench.py --path masked --n 1048576 --reps 2 --dtype bfloat16 2>&1 | tail -2
+timeout 900 env PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path masked --n 1048576 --reps 2 --dtype bfloat16 2>&1 | tail -2
+timeout 900 python bench.py --dtype bfloat16 2>&1 | tail -3
+timeout 900 env PPCA_RS_TPU_S_SLAB_STATS=1 python bench.py 2>&1 | tail -3
+PYTHONPATH=/root/repo:$PYTHONPATH timeout 900 python examples/toy_model.py 2>&1 | grep -viE '^warning|xla_bridge' | tail -5
