@@ -59,6 +59,13 @@ class Config:
     #: numerics are exactly the tril+tril^T semantics either way.
     s_slab_stats: bool = False
 
+    #: Feed the fused kernel's Gram input as wedge SLABS (kernels.g_slabs):
+    #: the kernel only reads the dim1 >= dim0 wedge of G, so the Gram
+    #: matmul computes and writes only that wedge (~0.6x flops + HBM write
+    #: at k=64) and the kernel DMAs each slab to its static A region.
+    #: Requires k % 8 == 0; only affects kernel-routed masked paths.
+    g_slab_inputs: bool = False
+
     #: Route state sizes past the fused kernel's VMEM ceiling through the
     #: blocked Schur-complement inverse (ops/block_spd.py): batched MXU
     #: matmuls + Pallas base blocks, size-generic in k.  When False those
@@ -89,6 +96,8 @@ if os.environ.get("PPCA_RS_TPU_NO_BLOCKED_LARGE_K"):
     config.use_blocked_large_k = False
 if os.environ.get("PPCA_RS_TPU_S_SLAB_STATS"):
     config.s_slab_stats = True
+if os.environ.get("PPCA_RS_TPU_G_SLAB_INPUTS"):
+    config.g_slab_inputs = True
 if os.environ.get("PPCA_RS_TPU_MIX_EXACT_RNORM"):
     config.mix_exact_rnorm = True
 if os.environ.get("PPCA_RS_TPU_MATMUL_PRECISION"):

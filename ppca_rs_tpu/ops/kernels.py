@@ -147,6 +147,17 @@ def _a_update(A_scr, cur, j0, k, l0, l1, rb):
         )
 
 
+def g_slabs(k: int, rb: int = TRI_RB_MAIN):
+    """Row-block slabs [(r0, r1)] of the (k, k) Gram input that the kernel
+    actually READS: ``chol_col(j)`` touches only entries (j, c) with c >= j
+    and ``_a_update`` maintains only that upper wedge, so row-block
+    [r0, r1) needs cols [r0:] only.  Callers may pass G as a tuple of
+    (r1-r0, k-r0, B) slabs (see ``spd_estep``) and skip ever computing or
+    writing the dead lower wedge (~0.6x the Gram matmul flops and HBM
+    write at k=64)."""
+    return [(r0, min(r0 + rb, k)) for r0 in range(0, k, rb)]
+
+
 def _panels(k: int, width: int = PANEL):
     """Static staircase segments [(j0, j1), ...] covering the k columns.
 
@@ -162,7 +173,8 @@ def _panels(k: int, width: int = PANEL):
     return panels
 
 
-def _make_kernel(want: str, single_buf: bool = False, sm_manual: bool = False):
+def _make_kernel(want: str, single_buf: bool = False, sm_manual: bool = False,
+                 n_g: int = 1):
     """Kernel body factory.
 
     ``single_buf``: A holds ONE (k, k, T) slot (no G prefetch overlap) —
@@ -171,8 +183,14 @@ def _make_kernel(want: str, single_buf: bool = False, sm_manual: bool = False):
     and is written from a single VMEM scratch by an explicit DMA at tile
     end, instead of a double-buffered pipelined output block.  (For "chol"
     the L output plays the SM role.)
+    ``n_g``: number of G input refs — 1 for the full (k, k, B) Gram, else
+    one wedge slab per ``g_slabs(k)`` entry, DMA'd to its static A region
+    (the dead lower wedge holds stale VMEM, which every read masks away).
     """
-    def kernel(sigma_ref, G_hbm, b_ref, rn_ref, dob_ref, *rest):
+    def kernel(sigma_ref, *args):
+        g_refs = args[:n_g]
+        G_hbm = g_refs[0]
+        b_ref, rn_ref, dob_ref, *rest = args[n_g:]
         out_sem = None
         SM_hbm = None
         if want in ("llk", "chol"):
@@ -208,10 +226,30 @@ def _make_kernel(want: str, single_buf: bool = False, sm_manual: bool = False):
             cur = lax.rem(jnp.asarray(i), two)
         nxt = lax.rem(jnp.asarray(i) + 1, two)
 
-        def g_copy(slot, tile):
-            return pltpu.make_async_copy(
-                G_hbm.at[:, :, pl.ds(tile * T, T)], A_scr.at[slot], in_sems.at[slot]
-            )
+        if n_g == 1:
+            def g_copies(slot, tile):
+                return [pltpu.make_async_copy(
+                    G_hbm.at[:, :, pl.ds(tile * T, T)], A_scr.at[slot],
+                    in_sems.at[slot],
+                )]
+        else:
+            def g_copies(slot, tile):
+                return [
+                    pltpu.make_async_copy(
+                        g_refs[si].at[:, :, pl.ds(tile * T, T)],
+                        A_scr.at[slot, r0:r1, r0:],
+                        in_sems.at[slot, si],
+                    )
+                    for si, (r0, r1) in enumerate(g_slabs(k))
+                ]
+
+        def g_start(slot, tile):
+            for c in g_copies(slot, tile):
+                c.start()
+
+        def g_wait(slot, tile):
+            for c in g_copies(slot, tile):
+                c.wait()
 
         def sm_flush():
             """Manual DMA of the finished SM/L tile to its HBM output.
@@ -226,17 +264,17 @@ def _make_kernel(want: str, single_buf: bool = False, sm_manual: bool = False):
             copy.wait()
 
         if single_buf:
-            g_copy(0, i).start()
+            g_start(0, i)
         else:
             @pl.when(i == 0)
             def _():
-                g_copy(cur, i).start()
+                g_start(cur, i)
 
             @pl.when(i + 1 < n_tiles)
             def _():
-                g_copy(nxt, i + 1).start()
+                g_start(nxt, i + 1)
 
-        g_copy(cur, i).wait()             # A[cur] now holds G (no sigma^2 yet)
+        g_wait(cur, i)                    # A[cur] now holds G (no sigma^2 yet)
 
         if Res_scr is not None:
             eye3 = (lax.broadcasted_iota(jnp.int32, (k, k, T), 0)
@@ -425,8 +463,8 @@ def _make_kernel(want: str, single_buf: bool = False, sm_manual: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def _kernel_fn(want: str, single_buf: bool, sm_manual: bool):
-    return _make_kernel(want, single_buf, sm_manual)
+def _kernel_fn(want: str, single_buf: bool, sm_manual: bool, n_g: int = 1):
+    return _make_kernel(want, single_buf, sm_manual, n_g)
 
 
 # big-buffer counts per configuration: comfortable = A double-buffered +
@@ -480,12 +518,31 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
     Returns (per ``want``): s_t (k, B) posterior states, SM3 (k, k, B) second
     moments ``s s^T + sigma^2 M^{-1}``, llk (1, B) log-likelihoods,
     sq (1, B) = ``tr(G Sigma)``.
+
+    ``G3`` may instead be a TUPLE of wedge slabs — one (r1-r0, k-r0, B)
+    array per ``g_slabs(k)`` entry, covering exactly the upper wedge the
+    kernel reads — so callers skip computing/writing the dead lower wedge.
+    Slab mode requires k % 8 == 0 (no internal re-pad).
     """
     if want not in WANTS:
         raise ValueError(f"want must be one of {WANTS}")
     if want == "chol":
         raise ValueError("use spd_chol() for the batched-Cholesky variant")
-    k, _, B = G3.shape
+    if isinstance(G3, (tuple, list)):
+        G3 = tuple(G3)
+        k, B = b_t.shape
+        if k % 8 != 0:
+            raise ValueError("slab-mode G requires k % 8 == 0")
+        slabs = g_slabs(k)
+        if len(G3) != len(slabs) or any(
+            g.shape != (r1 - r0, k - r0, B) for g, (r0, r1) in zip(G3, slabs)
+        ):
+            raise ValueError(
+                f"slab shapes {[g.shape for g in G3]} do not match "
+                f"g_slabs({k}) x batch {B}"
+            )
+    else:
+        k, _, B = G3.shape
     if B % LANE != 0:
         raise ValueError(f"batch {B} must be a multiple of {LANE}")
 
@@ -510,7 +567,9 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
         s_t, SM3, llk, sq = out
         return s_t[:k], SM3[:k, :k], llk, sq
 
-    dtype = G3.dtype
+    g_parts = G3 if isinstance(G3, tuple) else (G3,)
+    n_g = len(g_parts)
+    dtype = g_parts[0].dtype
     sigma = jnp.asarray(sigma, dtype)
     sigma2 = jnp.broadcast_to((sigma * sigma).reshape(1, -1), (1, B))
     # Wider tiles were measured SLOWER (k=64: 8.1 ms at T=256 vs 7.1 ms at
@@ -537,7 +596,9 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
     n_slots = 1 if single_buf else 2
     a_scr = pltpu.VMEM((n_slots, k, k, T), dtype)    # (double-buffered) G/A
     res_scr = pltpu.VMEM((k, k, T), dtype)
-    sems = pltpu.SemaphoreType.DMA((n_slots,))
+    sems = pltpu.SemaphoreType.DMA(
+        (n_slots,) if n_g == 1 else (n_slots, n_g)
+    )
     if want == "llk":
         out_specs = (vec_spec(1),)
         out_shape = (jax.ShapeDtypeStruct((1, B), dtype),)
@@ -580,11 +641,12 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
             vmem_limit_bytes=min(int(vmem_bytes * 1.3) + (4 << 20), 128 * 1024 * 1024)
         )
     out = pl.pallas_call(
-        _kernel_fn(want, single_buf, sm_manual),
+        _kernel_fn(want, single_buf, sm_manual, n_g),
         grid=grid,
         in_specs=[
             vec_spec(1),                            # per-lane sigma^2
-            pl.BlockSpec(memory_space=pl.ANY),      # G streams by manual DMA
+            # G streams by manual DMA: one full ref or n_g wedge slabs
+            *([pl.BlockSpec(memory_space=pl.ANY)] * n_g),
             vec_spec(k),
             vec_spec(1),
             vec_spec(1),
@@ -594,7 +656,7 @@ def spd_estep(sigma: jax.Array, G3: jax.Array, b_t: jax.Array,
         scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
-    )(sigma2, G3, b_t, rnorm, d_obs)
+    )(sigma2, *g_parts, b_t, rnorm, d_obs)
     return out
 
 

@@ -294,11 +294,29 @@ def _kernel_prep(C, CC, mean, sigma, data, mask_f):
     """Shared MXU-side prep for the fused kernel, in the transposed
     (lane-major) layout: ``b_t[k, B] = C^T R^T`` and
     ``G3[(k,k), B] = CC^T mask^T`` with the transposes fused into the
-    dot_generals."""
-    k = C.shape[1]
+    dot_generals.
+
+    With ``config.g_slab_inputs`` the Gram is built as the wedge slabs the
+    kernel actually reads (kernels.g_slabs): one dot_general per row-block
+    over cols [r0:], returned as a tuple spd_estep accepts directly —
+    the dead lower wedge is never computed or written."""
+    from ..config import config
+
+    D, k = C.shape
     R = mask_f * (data - mean)
     b_t = lax.dot_general(C, R, (((0,), (1,)), ((), ())))
-    G3 = lax.dot_general(CC, mask_f, (((0,), (1,)), ((), ()))).reshape(k, k, -1)
+    if config.g_slab_inputs and k % 8 == 0 and k > 16:
+        from . import kernels
+
+        CC3 = CC.reshape(D, k, k)
+        G3 = tuple(
+            lax.dot_general(
+                CC3[:, r0:r1, r0:], mask_f, (((0,), (1,)), ((), ()))
+            )
+            for r0, r1 in kernels.g_slabs(k)
+        )
+    else:
+        G3 = lax.dot_general(CC, mask_f, (((0,), (1,)), ((), ()))).reshape(k, k, -1)
     rnorm = jnp.sum(R * R, axis=-1)[None, :]
     d_obs = jnp.sum(mask_f, axis=-1)
     return R, b_t, G3, rnorm, d_obs

@@ -461,3 +461,78 @@ def test_kernel_em_stats_s_slab_matches(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(got.cross), np.asarray(ref.cross),
                                    rtol=1e-6)
         np.testing.assert_allclose(float(got.llk), float(ref.llk), rtol=1e-6)
+
+
+def test_kernel_g_slab_inputs_match(rng):
+    """spd_estep fed the Gram as wedge SLABS (kernels.g_slabs) == fed the
+    full (k, k, B) Gram, for every want variant, at k aligned and
+    unaligned to the slab width.  The dead lower wedge is never shipped;
+    in-kernel reads must mask it away entirely."""
+    for k in (24, 64):
+        B, D = 256, 96
+        C = jnp.asarray(rng.normal(size=(D, k)), jnp.float32)
+        data = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, D)) > 0.4, jnp.float32)
+        mask = mask.at[2].set(0.0)
+        R = mask * data
+        sig = jnp.float32(0.8)
+        b_t = (R @ C).T
+        CC3 = (C[:, :, None] * C[:, None, :])
+        G3 = jnp.einsum("dij,bd->ijb", CC3, mask)
+        slabs = tuple(
+            jnp.einsum("dij,bd->ijb", CC3[:, r0:r1, r0:], mask)
+            for r0, r1 in kernels.g_slabs(k)
+        )
+        rnorm = jnp.sum(R * R, axis=-1)[None, :]
+        dob = jnp.sum(mask, axis=-1)[None, :]
+        for want, n_out in (("llk", 1), ("states", 2), ("fullt", 4), ("infer", 4)):
+            ref = kernels.spd_estep(sig, G3, b_t, rnorm, dob, want=want,
+                                    interpret=True)
+            got = kernels.spd_estep(sig, slabs, b_t, rnorm, dob, want=want,
+                                    interpret=True)
+            assert len(ref) == len(got) == n_out
+            for i, (a, b) in enumerate(zip(got, ref)):
+                if want == "fullt" and i == 1:
+                    # SM upper wedge is garbage by contract: compare tril
+                    tril = np.tril(np.ones((k, k)))[:, :, None]
+                    a = np.asarray(a) * tril
+                    b = np.asarray(b) * tril
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6,
+                    err_msg=f"want={want} out={i} k={k}")
+
+
+def test_kernel_em_stats_g_slab_matches(rng, monkeypatch):
+    """config.g_slab_inputs end-to-end through em_stats (+ combined with
+    s_slab_stats) == the full-Gram path."""
+    import functools
+
+    from ppca_rs_tpu.config import config
+
+    monkeypatch.setattr(
+        kernels, "spd_estep", functools.partial(kernels.spd_estep, interpret=True)
+    )
+    monkeypatch.setattr(ml, "_use_kernel", lambda *a: True)
+    B, D, k = 256, 64, 24
+    C = jnp.asarray(rng.normal(size=(D, k)), jnp.float32)
+    mean = jnp.asarray(rng.normal(size=D), jnp.float32)
+    sig = jnp.float32(0.8)
+    data = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, D)) > 0.4)
+    data = jnp.where(mask, data, 0.0)
+    w = jnp.asarray(rng.random(B) + 0.5, jnp.float32)
+
+    ref = ml.em_stats(C, mean, sig, data, mask, w, block_size=128)
+    monkeypatch.setattr(config, "g_slab_inputs", True)
+    got = ml.em_stats(C, mean, sig, data, mask, w, block_size=128)
+    monkeypatch.setattr(config, "s_slab_stats", True)
+    got2 = ml.em_stats(C, mean, sig, data, mask, w, block_size=128)
+
+    tril = np.tril(np.ones((k, k)))
+    for g in (got, got2):
+        S_ref = np.asarray(ref.S, np.float64).reshape(D, k, k) * tril
+        S_g = np.asarray(g.S, np.float64).reshape(D, k, k) * tril
+        np.testing.assert_allclose(S_g, S_ref, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g.cross), np.asarray(ref.cross),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(float(g.llk), float(ref.llk), rtol=1e-6)

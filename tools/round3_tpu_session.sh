@@ -14,3 +14,6 @@ timeout 900 env PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path 
 timeout 900 python bench.py --dtype bfloat16 2>&1 | tail -3
 timeout 900 env PPCA_RS_TPU_S_SLAB_STATS=1 python bench.py 2>&1 | tail -3
 PYTHONPATH=/root/repo:$PYTHONPATH timeout 900 python examples/toy_model.py 2>&1 | grep -viE '^warning|xla_bridge' | tail -5
+timeout 900 python tools/slab_hw_check.py 2>&1 | tail -6
+timeout 900 env PPCA_RS_TPU_G_SLAB_INPUTS=1 python tools/em_microbench.py --path masked --n 1048576 --reps 2 2>&1 | tail -2
+timeout 900 env PPCA_RS_TPU_G_SLAB_INPUTS=1 PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path masked --n 1048576 --reps 2 2>&1 | tail -2
