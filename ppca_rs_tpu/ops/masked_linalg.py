@@ -337,15 +337,18 @@ def _kernel_block(C, CC, mean, sigma, data, mask_f):
     return s_t, SM3, llk[0], sq[0], b_t, rnorm[0], R, d_obs
 
 
-def _sm_slabs(k: int, rb: int = 16):
+def _sm_slabs(k: int):
     """Row-block slabs [(r0, r1, cw)] of the (k, k) second moment that are
     VALID under the kernel's want="fullt" contract: row-block [r0, r1) holds
-    correct entries in cols [:cw] (cw = r1 clipped to k) — the lower wedge
-    plus the diagonal block's interior, i.e. exactly the entries
-    em_finalize's tril + tril^T reconstruction reads.  rb matches the
-    kernel's TRI_RB_MAIN write granularity (any multiple works — validity
-    only improves with coarser slabs)."""
-    return [(r0, min(r0 + rb, k), min(r0 + rb, k)) for r0 in range(0, k, rb)]
+    correct entries in cols [:cw] (cw = r1) — the lower wedge plus the
+    diagonal block's interior, i.e. exactly the entries em_finalize's
+    tril + tril^T reconstruction reads.  Derived from kernels.g_slabs so
+    the row width stays tied to the kernel's TRI_RB_MAIN write granularity
+    (a FINER kernel write width would shrink the valid region; deriving
+    rather than hardcoding keeps them in lockstep)."""
+    from . import kernels
+
+    return [(r0, r1, r1) for r0, r1 in kernels.g_slabs(k)]
 
 
 def _s_packed_width(k: int) -> int:
