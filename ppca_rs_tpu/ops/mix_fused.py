@@ -285,6 +285,8 @@ def _block_mix_fast(Cs, Cs_t, Cdm_t, CCs_t, mean0, dm, dm2, sigmas,
     q = k * k
     hp = jax.lax.Precision.HIGHEST
 
+    from ..config import config
+
     md0 = mask_f * (datab - mean0[None, :])                       # (B, D)
     b_lane = (lax.dot_general(Cs_t, md0, (((1,), (1,)), ((), ())))
               - lax.dot_general(Cdm_t, mask_f, (((1,), (1,)), ((), ()))))  # (kM, B)
@@ -298,11 +300,26 @@ def _block_mix_fast(Cs, Cs_t, Cdm_t, CCs_t, mean0, dm, dm2, sigmas,
     if use_kernel:
         from . import kernels
 
-        G_lane = lax.dot_general(CCs_t, mask_f, (((1,), (1,)), ((), ())))  # (qM, B)
+        if config.g_slab_inputs and k % 8 == 0 and k > 16:
+            # Ship the Gram as the wedge slabs the kernel actually reads
+            # (kernels.g_slabs), exactly like the single-model
+            # _kernel_prep: one dot_general per row-block over cols [r0:],
+            # batch axis = the kernel's M*B lane batch.  The dead lower
+            # wedge is never computed or written.
+            CCs4 = CCs_t.reshape(k, k, M, D_loc)
+            G_arg = tuple(
+                lax.dot_general(
+                    CCs4[r0:r1, r0:], mask_f, (((3,), (1,)), ((), ()))
+                ).reshape(r1 - r0, k - r0, M * B)
+                for r0, r1 in kernels.g_slabs(k)
+            )
+        else:
+            G_lane = lax.dot_general(CCs_t, mask_f, (((1,), (1,)), ((), ())))
+            G_arg = G_lane.reshape(k, k, M * B)
         sig_lane = jnp.repeat(sigmas, B)[None, :]
         dob_lane = jnp.tile(d_obs, M)[None, :]
         s_t, SM3, llk_l, sq_l = kernels.spd_estep(
-            sig_lane, G_lane.reshape(k, k, M * B), b_lane.reshape(k, M * B),
+            sig_lane, G_arg, b_lane.reshape(k, M * B),
             rnorm.reshape(1, M * B), dob_lane, want=EM_WANT,
         )
         llks = llk_l.reshape(M, B)
@@ -361,11 +378,34 @@ def _block_mix_fast(Cs, Cs_t, Cdm_t, CCs_t, mean0, dm, dm2, sigmas,
     c2 = lax.dot_general(srw, mask_f, (((1,), (0,)), ((), ())))   # (kM, D)
     c2t = jnp.transpose(c2.reshape(k, M, D_loc), (1, 2, 0))       # (M, D, k)
     cross = jnp.transpose(c1.reshape(k, M, D_loc), (1, 2, 0)) - dm[:, :, None] * c2t
-    SMw = (SM3v * resp[None, :, :]).reshape(q * M, B)
-    S = jnp.transpose(
-        lax.dot_general(SMw, mask_f, (((1,), (0,)), ((), ()))).reshape(q, M, D_loc),
-        (1, 2, 0),
-    )
+    if use_kernel and config.s_slab_stats:
+        # Contract only the valid block-wedge slabs of the fullt SM
+        # (mix_em_finalize's tril + tril^T reconstruction reads exactly
+        # these entries); accumulated PACKED in the scan carry, unpacked
+        # to the (M, D, k*k) layout once after the scan in mix_em_stats.
+        SM4 = SM3v.reshape(k, k, M, B)
+        S = jnp.concatenate(
+            [
+                jnp.transpose(
+                    lax.dot_general(
+                        (SM4[r0:r1, :cw] * resp[None, None, :, :]).reshape(
+                            (r1 - r0) * cw * M, B
+                        ),
+                        mask_f,
+                        (((1,), (0,)), ((), ())),
+                    ).reshape((r1 - r0) * cw, M, D_loc),
+                    (1, 2, 0),
+                )
+                for r0, r1, cw in ml._sm_slabs(k)
+            ],
+            axis=2,
+        )
+    else:
+        SMw = (SM3v * resp[None, :, :]).reshape(q * M, B)
+        S = jnp.transpose(
+            lax.dot_general(SMw, mask_f, (((1,), (0,)), ((), ()))).reshape(q, M, D_loc),
+            (1, 2, 0),
+        )
     # clamp: epsilon-negative in f32 iff |dev|^2 ~ 0 (see dense_fast)
     dev_sq = jnp.sum(resp * jnp.maximum(rnorm - bs - sigma2 * s2, 0.0), axis=-1)
     rm = lax.dot_general(resp, mask_f, (((1,), (0,)), ((), ())))  # (M, D)
@@ -704,10 +744,16 @@ def mix_em_stats(Cs, means, sigmas, log_weights, data, mask, weights, *,
                  new.resp_sum, new.resp_max, new.llk)
         return big, small
 
-    zero = (jnp.zeros((M, D_loc, k), dtype), jnp.zeros((M, D_loc, k * k), dtype))
+    # config.s_slab_stats (fast kernel path only): the scan carries S
+    # slab-PACKED (ml._sm_slabs width) and unpacks once after the scan.
+    slab = use_fast and use_kernel and config.s_slab_stats
+    s_width = ml._s_packed_width(k) if slab else k * k
+    zero = (jnp.zeros((M, D_loc, k), dtype), jnp.zeros((M, D_loc, s_width), dtype))
     (cross, S), small, _ = _scan_blocks(
         n, block_size, (data, mask, weights), body, zero
     )
+    if slab:
+        S = ml._s_unpack(S.reshape(M * D_loc, s_width), k).reshape(M, D_loc, k * k)
     (square_error, dev_sq, total_dev, totals, resp_sum, llk) = (
         jnp.sum(x, axis=0)
         for x in (small[0], small[1], small[2], small[3], small[4], small[6])

@@ -536,3 +536,62 @@ def test_kernel_em_stats_g_slab_matches(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(g.cross), np.asarray(ref.cross),
                                    rtol=1e-6, atol=1e-7)
         np.testing.assert_allclose(float(g.llk), float(ref.llk), rtol=1e-6)
+
+
+def test_mix_em_stats_slab_flags_match(rng, monkeypatch):
+    """The fused-mixture twins of the slab flags: g_slab_inputs ships the
+    M*B-lane Gram as kernels.g_slabs wedges; s_slab_stats carries S packed
+    (ml._sm_slabs) through the scan and unpacks after.  Both must equal the
+    full path exactly where mix_em_finalize reads (tril of S; everything
+    else verbatim).  k=16 exercises s_slab with g_slab self-gated off."""
+    import functools
+
+    from ppca_rs_tpu.config import config
+    from ppca_rs_tpu.ops import mix_fused as mf
+
+    monkeypatch.setattr(
+        kernels, "spd_estep", functools.partial(kernels.spd_estep, interpret=True)
+    )
+    monkeypatch.setattr(ml, "_use_kernel", lambda *a: True)
+    for k in (16, 24):
+        M, B, D = 3, 192, 48
+        Cs = jnp.asarray(rng.normal(size=(M, D, k)), jnp.float32)
+        means = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+        sigs = jnp.asarray(rng.random(M) + 0.5, jnp.float32)
+        lw = jnp.log(jnp.full((M,), 1.0 / M, jnp.float32))
+        data = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, D)) > 0.4)
+        mask = mask.at[1].set(False)
+        data = jnp.where(mask, data, 0.0)
+        w = jnp.asarray(rng.random(B) + 0.5, jnp.float32)
+
+        def stats():
+            return mf.mix_em_stats(Cs, means, sigs, lw, data, mask, w,
+                                   block_size=128)
+
+        monkeypatch.setattr(config, "g_slab_inputs", False)
+        monkeypatch.setattr(config, "s_slab_stats", False)
+        ref = stats()
+        monkeypatch.setattr(config, "g_slab_inputs", True)
+        got_g = stats()
+        monkeypatch.setattr(config, "s_slab_stats", True)
+        got_gs = stats()
+        monkeypatch.setattr(config, "g_slab_inputs", False)
+        got_s = stats()
+
+        tril = np.tril(np.ones((k, k)))
+        S_ref = np.asarray(ref.S, np.float64).reshape(M, D, k, k) * tril
+        for got in (got_g, got_gs, got_s):
+            S_got = np.asarray(got.S, np.float64).reshape(M, D, k, k) * tril
+            np.testing.assert_allclose(S_got, S_ref, rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(got.cross),
+                                       np.asarray(ref.cross),
+                                       rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(float(got.llk), float(ref.llk),
+                                       rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(got.square_error),
+                                       np.asarray(ref.square_error),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(got.dev_sq),
+                                       np.asarray(ref.dev_sq),
+                                       rtol=1e-5, atol=1e-6)

@@ -17,3 +17,11 @@ PYTHONPATH=/root/repo:$PYTHONPATH timeout 900 python examples/toy_model.py 2>&1 
 timeout 900 python tools/slab_hw_check.py 2>&1 | tail -6
 timeout 900 env PPCA_RS_TPU_G_SLAB_INPUTS=1 python tools/em_microbench.py --path masked --n 1048576 --reps 2 2>&1 | tail -2
 timeout 900 env PPCA_RS_TPU_G_SLAB_INPUTS=1 PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path masked --n 1048576 --reps 2 2>&1 | tail -2
+# fused-mixture twins of the slab flags (D=512/k=32/M=8 headline config)
+timeout 900 python tools/em_microbench.py --path mix --reps 2 2>&1 | tail -2
+timeout 900 env PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path mix --reps 2 2>&1 | tail -2
+timeout 900 env PPCA_RS_TPU_G_SLAB_INPUTS=1 python tools/em_microbench.py --path mix --reps 2 2>&1 | tail -2
+timeout 900 env PPCA_RS_TPU_G_SLAB_INPUTS=1 PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path mix --reps 2 2>&1 | tail -2
+# mixture slabs at k=64 (bigger wedge savings; g_slab needs k>16)
+timeout 900 python tools/em_microbench.py --path mix --k 64 --reps 2 2>&1 | tail -2
+timeout 900 env PPCA_RS_TPU_G_SLAB_INPUTS=1 PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path mix --k 64 --reps 2 2>&1 | tail -2
