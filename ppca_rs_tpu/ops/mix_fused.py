@@ -781,6 +781,12 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
 
     tables = compute_mix_tables(Cs, sigmas, patterns_f)
     group_outer = P <= D_loc
+    # s_slab_stats: compute/accumulate only the tril block-wedge of the
+    # s s^T outer statistic (see the Souter comment in body); q_pack is the
+    # packed width the scan carries.
+    slab = config.s_slab_stats and k > 0
+    souter_ranges = ml._sm_slabs(k) if slab else [(0, k, k)]
+    q_pack = ml._s_packed_width(k) if slab else k * k
     center = _center_prep(Cs, means)
     mean0, dm, _ = center
     # mix_exact_rnorm: center=None makes _block_post_pat materialize the
@@ -820,27 +826,34 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
         # Souter needs the order-3 contraction onehot x s_i x s_j, which has
         # no two-matmul factoring; instead of materializing the full
         # (M, B, k^2) outer_s (268 MB/block at k=32, M=8 — the round-2
-        # block-size cap), build it in row chunks so the temporary stays
-        # ~<=64 MB and each chunk is still one MXU matmul.
+        # block-size cap), build it in (row-range, col-width) pieces so the
+        # temporary stays ~<=64 MB and each piece is still one MXU matmul.
+        # config.s_slab_stats narrows each row range's columns to the
+        # ml._sm_slabs wedge (cw = r1): only the entries mix_em_finalize's
+        # tril + tril^T reconstruction reads are ever computed (~0.55x the
+        # outer flops at k=64), accumulated PACKED and unpacked after the
+        # scan.  Without the flag the ranges cover the full k columns.
         sw = s * resp[..., None]                            # (M,B,k) weighted once
-        ic = max(1, (1 << 26) // max(1, M * B * k * 4))     # rows/chunk: ~64 MB temp
         parts = []
-        for i0 in range(0, k, ic):
-            i1 = min(i0 + ic, k)
-            chunk = (sw[..., i0:i1, None] * s[..., None, :]).reshape(
-                M, B, (i1 - i0) * k
-            )
-            if group_outer:
-                parts.append(jnp.einsum("bp,mbq->mpq", onehot, chunk))
-            else:
-                parts.append(jnp.einsum("bd,mbq->mdq", mask_f, chunk))
+        for r0, r1, cw in souter_ranges:
+            ic = max(1, (1 << 26) // max(1, M * B * cw * 4))  # rows: ~64 MB temp
+            for i0 in range(r0, r1, ic):
+                i1 = min(i0 + ic, r1)
+                chunk = (sw[..., i0:i1, None] * s[..., None, :cw]).reshape(
+                    M, B, (i1 - i0) * cw
+                )
+                if group_outer:
+                    parts.append(jnp.einsum("bp,mbq->mpq", onehot, chunk))
+                else:
+                    parts.append(jnp.einsum("bd,mbq->mdq", mask_f, chunk))
         Souter = (
             parts[0]
             if len(parts) == 1
             else jnp.concatenate(parts, axis=-1)
         )
-        # parts are (M, *, ic*k) slabs of the (i, j)-flattened outer axis in
-        # row order, so concatenation restores the exact (k*k,) layout.
+        # parts are (M, *, rows*cw) pieces of the (i, j)-flattened outer axis
+        # in row order within each range, so concatenation restores the exact
+        # layout (full (k*k,), or the _sm_slabs packing under the flag).
 
         # Residual statistics without the (M, B, D) dev array: s = M^{-1} b
         # exactly (s = Sigma b / sigma^2), so s^T G s = b.s - sigma^2 |s|^2
@@ -863,7 +876,7 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
         small = (square_error, dev_sq, total_dev, resp_sum, resp_max, llk_mix)
         return big, small
 
-    souter_shape = (M, P, k * k) if group_outer else (M, D_loc, k * k)
+    souter_shape = (M, P, q_pack) if group_outer else (M, D_loc, q_pack)
     zero = (
         jnp.zeros((M, D_loc, k), dtype),
         jnp.zeros(souter_shape, dtype),
@@ -879,10 +892,23 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
     resp_max = jnp.max(small[4], axis=0)
 
     Sigma = tables[0]                                        # (M,P,k^2)
+    if slab:
+        # pack the (cheap, P-sized) covariance table the same way so the
+        # reconstruction runs at the packed width too.
+        Sigma4 = Sigma.reshape(M, P, k, k)
+        Sigma = jnp.concatenate(
+            [
+                Sigma4[..., r0:r1, :cw].reshape(M, P, (r1 - r0) * cw)
+                for r0, r1, cw in souter_ranges
+            ],
+            axis=-1,
+        )
     if group_outer:
         S = jnp.einsum("pd,mpq->mdq", patterns_f, Souter + wsum[..., None] * Sigma)
     else:
         S = Souter + jnp.einsum("pd,mpq->mdq", patterns_f, wsum[..., None] * Sigma)
+    if slab:
+        S = ml._s_unpack(S.reshape(M * D_loc, q_pack), k).reshape(M, D_loc, k * k)
     totals = jnp.einsum("mp,pd->md", wsum, patterns_f)
     return MixEMStats(cross, S, square_error, dev_sq, total_dev, totals,
                       resp_sum, resp_max, llk)

@@ -180,6 +180,8 @@ def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
       * ``square_error`` = sum_p wsum_p tr(G_p Sigma_p)
       * ``totals``       = sum_p wsum_p m_pd
     """
+    from ..config import config
+
     n, _ = data.shape
     D, k = C.shape
     dtype = ml.compute_dtype(data.dtype, C.dtype)
@@ -187,6 +189,13 @@ def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
     P = patterns_f.shape[0]
     tables = compute_tables(C, sigma, patterns_f)
     group_outer = P <= D  # one-hot grouping beats the direct (D,B)x(B,k^2)
+    # config.s_slab_stats: build only the ml._sm_slabs tril wedge of the
+    # per-sample outer s s^T (em_finalize reads tril of S only) — ~0.55x
+    # the outer VPU work, HBM temp, and Souter matmul flops at k=64.  The
+    # scan carries Souter PACKED; S is unpacked once after assembly.
+    slab = config.s_slab_stats and k > 0
+    outer_ranges = ml._sm_slabs(k) if slab else [(0, k, k)]
+    q_pack = ml._s_packed_width(k) if slab else k * k
 
     def body(acc, fresh, datab, maskb, pb, w):
         datab = datab.astype(dtype)
@@ -198,17 +207,27 @@ def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
 
         sw = s * w[:, None]
         cross = lax.dot_general(R, sw, (((0,), (0,)), ((), ())))              # (D, k)
-        outer_s = (s[:, :, None] * s[:, None, :]).reshape(s.shape[0], k * k)
+        outer_s = jnp.concatenate(
+            [
+                (s[:, r0:r1, None] * s[:, None, :cw]).reshape(
+                    s.shape[0], (r1 - r0) * cw
+                )
+                for r0, r1, cw in outer_ranges
+            ],
+            axis=1,
+        ) if len(outer_ranges) > 1 else (
+            s[:, :, None] * s[:, None, :]
+        ).reshape(s.shape[0], k * k)
         onehot = (pb[:, None] == jnp.arange(P, dtype=pb.dtype)[None, :]).astype(dtype)
         wsum = w @ onehot                                                     # (P,)
         if group_outer:
             Souter = lax.dot_general(
                 onehot * w[:, None], outer_s, (((0,), (0,)), ((), ()))
-            )                                                                 # (P, k*k)
+            )                                                                 # (P, q_pack)
         else:
             Souter = lax.dot_general(
                 mask_f * w[:, None], outer_s, (((0,), (0,)), ((), ()))
-            )                                                                 # (D, k*k)
+            )                                                                 # (D, q_pack)
 
         # No residual array: s = M^{-1} b exactly (s = Sigma b / sigma^2),
         # so |mask*(y - s C^T - mean)|^2 = rnorm - b.s - sigma^2 |s|^2 and
@@ -227,7 +246,7 @@ def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
             (dev_sq, total_dev, llk),
         )
 
-    souter_shape = (P, k * k) if group_outer else (D, k * k)
+    souter_shape = (P, q_pack) if group_outer else (D, q_pack)
     zero = (
         jnp.zeros((D, k), dtype),
         jnp.zeros(souter_shape, dtype),
@@ -240,10 +259,24 @@ def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
 
     # Assemble the pattern-grouped statistics with single (D, P) contractions.
     pat_T = patterns_f.T                                   # (D, P)
+    Sigma_tab = tables.Sigma                               # (P, k*k)
+    if slab:
+        # pack the (cheap, P-sized) covariance table the same way so the
+        # assembly runs at the packed width; unpack S once at the end.
+        Sigma4 = Sigma_tab.reshape(P, k, k)
+        Sigma_tab = jnp.concatenate(
+            [
+                Sigma4[:, r0:r1, :cw].reshape(P, (r1 - r0) * cw)
+                for r0, r1, cw in outer_ranges
+            ],
+            axis=1,
+        )
     if group_outer:
-        S = pat_T @ (Souter + wsum[:, None] * tables.Sigma)
+        S = pat_T @ (Souter + wsum[:, None] * Sigma_tab)
     else:
-        S = Souter + pat_T @ (wsum[:, None] * tables.Sigma)
+        S = Souter + pat_T @ (wsum[:, None] * Sigma_tab)
+    if slab:
+        S = ml._s_unpack(S, k)
     square_error = jnp.sum(wsum * tables.sq)
     totals = pat_T @ wsum
     return ml.EMStats(cross, S, square_error, dev_sq, total_dev, totals, llk)

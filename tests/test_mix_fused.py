@@ -520,3 +520,47 @@ def test_kernel_routed_mix_readouts_match_fallback(rng, monkeypatch):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(got_ex), np.asarray(ref_ex),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_mix_em_stats_pat_s_slab_matches(rng):
+    """The pattern-mixture Souter under config.s_slab_stats (compute only
+    the ml._sm_slabs tril wedge of s s^T, carry packed, unpack after the
+    scan) == the full contraction exactly where mix_em_finalize reads
+    (tril of S; every other statistic verbatim).  Covers both Souter
+    groupings (P <= D and P > D) and k unaligned to the slab width."""
+    import jax.numpy as jnp
+
+    from ppca_rs_tpu.config import config
+    from ppca_rs_tpu.ops import mix_fused as mf
+
+    for k, P, D in ((11, 4, 16), (16, 24, 8)):
+        M, B = 2, 96
+        Cs = jnp.asarray(rng.normal(size=(M, D, k)))
+        means = jnp.asarray(rng.normal(size=(M, D)))
+        sigmas = jnp.asarray(0.5 + rng.random(M))
+        lw = jnp.log(jnp.full((M,), 1.0 / M))
+        patterns = jnp.asarray(rng.random((P, D)) > 0.3)
+        pidx = jnp.asarray(rng.integers(0, P, size=B), jnp.int32)
+        data = jnp.asarray(rng.normal(size=(B, D))) * patterns[pidx]
+        w = jnp.asarray(rng.random(B) + 0.5)
+        mask = patterns[pidx]
+
+        args = (Cs, means, sigmas, lw, data, mask, pidx, patterns, w)
+        old = config.s_slab_stats
+        try:
+            config.s_slab_stats = False
+            ref = mf.mix_em_stats_pat(*args, block_size=64)
+            config.s_slab_stats = True
+            got = mf.mix_em_stats_pat(*args, block_size=64)
+        finally:
+            config.s_slab_stats = old
+
+        tril = np.tril(np.ones((k, k)))
+        S_ref = np.asarray(ref.S, np.float64).reshape(M, D, k, k) * tril
+        S_got = np.asarray(got.S, np.float64).reshape(M, D, k, k) * tril
+        np.testing.assert_allclose(S_got, S_ref, rtol=1e-9, atol=1e-11)
+        for name in ("cross", "square_error", "dev_sq", "total_dev",
+                     "totals", "resp_sum", "resp_max", "llk"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+                rtol=1e-9, atol=1e-11, err_msg=name)

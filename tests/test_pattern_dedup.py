@@ -226,3 +226,47 @@ def test_model_dispatch_and_training(rng):
         llk = cur.llk(ds)
         assert llk >= prev - 1e-8
         prev = llk
+
+
+@pytest.mark.parametrize("group_outer", [True, False])
+def test_em_stats_s_slab_matches(rng, group_outer):
+    """pattern_dedup.em_stats under config.s_slab_stats (tril-wedge outer,
+    packed Souter carry, unpack after assembly) == the full path exactly
+    where em_finalize reads (tril of S; every other field verbatim), at a
+    k unaligned to the slab width."""
+    from ppca_rs_tpu.config import config
+
+    if group_outer:
+        ds = make_patterned_dataset(rng, n=96, d=24, n_patterns=5)   # P <= D
+    else:
+        ds = make_patterned_dataset(rng, n=128, d=4, n_patterns=9,
+                                    empty_dim=False)                 # P > D
+    k = 11
+    model = make_model(rng, d=ds.output_size(), k=k)
+    C, mean, sigma = model._transform, model._mean, model._isotropic_noise
+    pidx, pats = ds.pattern_info()
+    bs = 32
+
+    old = config.s_slab_stats
+    try:
+        config.s_slab_stats = False
+        ref = pd.em_stats(C, mean, sigma, ds.data, ds.mask,
+                          pidx, pats, ds.weights_dev, block_size=bs)
+        config.s_slab_stats = True
+        got = pd.em_stats(C, mean, sigma, ds.data, ds.mask,
+                          pidx, pats, ds.weights_dev, block_size=bs)
+    finally:
+        config.s_slab_stats = old
+
+    D = ds.output_size()
+    tril = np.tril(np.ones((k, k)))
+    S_ref = np.asarray(ref.S, np.float64).reshape(D, k, k) * tril
+    S_got = np.asarray(got.S, np.float64).reshape(D, k, k) * tril
+    np.testing.assert_allclose(S_got, S_ref, rtol=1e-9, atol=1e-11)
+    for name in ref._fields:
+        if name == "S":
+            continue
+        np.testing.assert_allclose(
+            getattr(got, name), getattr(ref, name), rtol=1e-9, atol=1e-11,
+            err_msg=f"EMStats field {name}",
+        )

@@ -25,3 +25,9 @@ timeout 900 env PPCA_RS_TPU_G_SLAB_INPUTS=1 PPCA_RS_TPU_S_SLAB_STATS=1 python to
 # mixture slabs at k=64 (bigger wedge savings; g_slab needs k>16)
 timeout 900 python tools/em_microbench.py --path mix --k 64 --reps 2 2>&1 | tail -2
 timeout 900 env PPCA_RS_TPU_G_SLAB_INPUTS=1 PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path mix --k 64 --reps 2 2>&1 | tail -2
+# pattern-mixture Souter slab (s_slab only; table-based path, no kernel Gram)
+timeout 900 python tools/em_microbench.py --path patmix --reps 2 2>&1 | tail -2
+timeout 900 env PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path patmix --reps 2 2>&1 | tail -2
+# single-model pattern path Souter slab (the 134 MB/block outer_s temp)
+timeout 900 python tools/em_microbench.py --path pat --reps 2 2>&1 | tail -2
+timeout 900 env PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path pat --reps 2 2>&1 | tail -2
