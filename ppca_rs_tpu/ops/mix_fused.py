@@ -504,12 +504,27 @@ def _block_llks_kernel(lane_prep, means, sigmas, datab, mask_f,
     Returns (llks (M, B), s (M, B, k) or None, Sig (M, B, k, k) or None)."""
     from . import kernels
 
+    from ..config import config
+
     CC_km, Cs_km, Cdm_km, mean0, dm = lane_prep
     k, M, _ = Cs_km.shape
     B = datab.shape[0]
     md0 = mask_f * (datab - mean0)                                # (B, D)
     dims = (((2,), (1,)), ((), ()))
-    G3 = _psum(lax.dot_general(CC_km, mask_f, dims), axis_model)  # (k^2, M, B)
+    if config.g_slab_inputs and k % 8 == 0 and k > 16:
+        # wedge-slab Gram (kernels.g_slabs), as in _block_mix_fast; psum
+        # runs per slab so model-sharded readouts stay correct.
+        CC4 = CC_km.reshape(k, k, M, CC_km.shape[-1])
+        G_arg = tuple(
+            _psum(
+                lax.dot_general(CC4[r0:r1, r0:], mask_f, (((3,), (1,)), ((), ()))),
+                axis_model,
+            ).reshape(r1 - r0, k - r0, M * B)
+            for r0, r1 in kernels.g_slabs(k)
+        )
+    else:
+        G3 = _psum(lax.dot_general(CC_km, mask_f, dims), axis_model)  # (k^2,M,B)
+        G_arg = G3.reshape(k, k, M * B)
     # b_m = C_m^T (mask (y - mu_m)) = C_m^T md0 - C_m^T (mask dm_m)
     b3 = _psum(
         lax.dot_general(Cs_km, md0, dims) - lax.dot_general(Cdm_km, mask_f, dims),
@@ -529,7 +544,7 @@ def _block_llks_kernel(lane_prep, means, sigmas, datab, mask_f,
     sig_lane = jnp.repeat(sigmas, B)[None, :]
     dob_lane = jnp.tile(d_obs, M)[None, :]
     out = kernels.spd_estep(
-        sig_lane, G3.reshape(k, k, M * B), b3.reshape(k, M * B),
+        sig_lane, G_arg, b3.reshape(k, M * B),
         rnorm.reshape(1, M * B), dob_lane, want=want,
     )
     if want == "llk":

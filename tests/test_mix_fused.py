@@ -564,3 +564,47 @@ def test_mix_em_stats_pat_s_slab_matches(rng):
             np.testing.assert_allclose(
                 np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
                 rtol=1e-9, atol=1e-11, err_msg=name)
+
+
+def test_mix_readouts_g_slab_matches(rng, monkeypatch):
+    """mix_llks / mix_infer through _block_llks_kernel with g_slab_inputs
+    (wedge-slab Gram) == the full-Gram path, interpret mode, k > 16."""
+    import functools
+
+    import jax.numpy as jnp
+    from ppca_rs_tpu.config import config
+    from ppca_rs_tpu.ops import kernels
+    from ppca_rs_tpu.ops import masked_linalg as ml
+    from ppca_rs_tpu.ops import mix_fused as mf
+
+    monkeypatch.setattr(
+        kernels, "spd_estep", functools.partial(kernels.spd_estep, interpret=True)
+    )
+    monkeypatch.setattr(ml, "_use_kernel", lambda *a: True)
+    M, B, D, k = 3, 256, 48, 24
+    Cs = jnp.asarray(rng.normal(size=(M, D, k)), jnp.float32) * 0.5
+    means = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    sigmas = jnp.asarray(0.5 + rng.random(M), jnp.float32)
+    lw = jnp.log(jnp.full((M,), 1.0 / M, jnp.float32))
+    data = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, D)) > 0.4)
+    mask = mask.at[3].set(False)
+    data = jnp.where(mask, data, 0.0)
+
+    monkeypatch.setattr(config, "g_slab_inputs", False)
+    llks_ref = mf.mix_llks(Cs, means, sigmas, data, mask, block_size=128)
+    lp_ref, s_ref, cov_ref = mf.mix_infer(Cs, means, sigmas, lw, data, mask,
+                                          block_size=128)
+    monkeypatch.setattr(config, "g_slab_inputs", True)
+    llks_got = mf.mix_llks(Cs, means, sigmas, data, mask, block_size=128)
+    lp_got, s_got, cov_got = mf.mix_infer(Cs, means, sigmas, lw, data, mask,
+                                          block_size=128)
+
+    np.testing.assert_allclose(np.asarray(llks_got), np.asarray(llks_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cov_got), np.asarray(cov_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lp_got), np.asarray(lp_ref),
+                               rtol=1e-6, atol=1e-6)
