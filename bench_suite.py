@@ -149,7 +149,7 @@ def main():
         bmodel, _ = bmodel.iterate_n(bds, it)
         jax.block_until_ready(bmodel._transform)
         dt = time.perf_counter() - t0
-        rows.append((f"masked EM at k={kbig} (D=1024, N=131k, 50% missing)",
+        rows.append((f"masked EM at k={kbig} (D=1024, N={nbig // 1024}k, 50% missing)",
                      f"{dt / it:.3f}s/iter", f"{nbig * it / dt:,.0f} samples/s"))
         del bds, bmodel, bdata, bmask
 

@@ -104,22 +104,24 @@ if os.environ.get("PPCA_RS_TPU_MATMUL_PRECISION"):
     config.matmul_precision = os.environ["PPCA_RS_TPU_MATMUL_PRECISION"]
 
 
-def block_size_for(n: int, k: int = 0) -> int:
+def block_size_for(n: int, k: int = 0, m: int = 1) -> int:
     """Pick the scan block size for an N-sample reduction: the configured block
     size, shrunk to the smallest power of two >= n for small inputs so tiny
     datasets don't pay for an 8k-row pad.
 
     When the state size ``k`` is given and exceeds the fused kernel's
     "full" ceiling (the blocked Schur-inverse regime, ops/block_spd.py),
-    the block is also shrunk so the ~4 live (block, k, k) f32 temporaries
-    (M, M^{-1}, Sigma, SM) stay within ~2 GiB — at k = 512 an 8192-row
-    block would otherwise hold 8 GiB PER temporary."""
+    the block is also shrunk so the ~4 live (m * block, k, k) f32
+    temporaries (M, M^{-1}, Sigma, SM) stay within ~2 GiB — at k = 512 an
+    8192-row block would otherwise hold 8 GiB PER temporary.  Mixtures
+    pass ``m`` = number of components: their per-block problems stack all
+    M components, so the bound must count M * block rows."""
     b = config.block_size
     if k:
         from .ops import kernels  # lazy: config must import before ops
 
         if k > kernels.max_k("full"):
-            while b > 128 and b * k * k * 16 > (2 << 30):
+            while b > 128 and max(1, m) * b * k * k * 16 > (2 << 30):
                 b //= 2
     while b >= 2 * max(n, 1):
         b //= 2

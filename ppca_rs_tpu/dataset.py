@@ -38,6 +38,14 @@ def _n_incomplete_rows(mask):
     return jnp.sum(jnp.any(~mask, axis=1), dtype=jnp.int32)
 
 
+@jax.jit
+def _any_over_rows(mask):
+    """Per-dimension any() over samples (the empty_dimensions reduction).
+    Module-level jit: a per-call ``jax.jit(partial(...))`` would defeat the
+    trace cache and pay a (remote) compile on every invocation."""
+    return jnp.any(mask, axis=0)
+
+
 @functools.lru_cache(maxsize=16)
 def _hash_powers(d: int) -> np.ndarray:
     """(d, 2) int32 matrix of [m^(d-1), ..., m, 1] mod 2^32 (wrapped to
@@ -320,27 +328,41 @@ class Dataset:
         if self.is_empty() or n < 2 * config.pattern_min_ratio:
             self._patterns = False
             return None
+        # Multi-PROCESS arrays need the explicit COLLECTIVE entry point
+        # `detect_patterns()` — pattern_info is a host-local lazy call that
+        # other processes may reach at different times, so it cannot launch
+        # collectives (this guard must run BEFORE the all_observed() probe
+        # below, which is itself a device reduction over the global mask);
+        # without a prior detect_patterns() a multi-host dataset takes the
+        # general path (correct, just without the dedup speedup).  NOT
+        # cached: a cached False would make a LATER (documented)
+        # detect_patterns() call a silent no-op — the demotion must stay
+        # re-checkable.
+        if jax.process_count() > 1:
+            return None
         if self.all_observed():
             if include_dense:
-                self._patterns = (
-                    jnp.zeros((n,), jnp.int32),
-                    jnp.ones((1, int(self.data.shape[1])), bool),
-                )
+                pidx = jnp.zeros((n,), jnp.int32)
+                pats = jnp.ones((1, int(self.data.shape[1])), bool)
+                if len(self.mask.sharding.device_set) > 1:
+                    # pin shardings so the table mixes with the sharded
+                    # data downstream (same as detect_patterns' branch)
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    pidx = jax.device_put(pidx, self.weights_dev.sharding)
+                    pats = jax.device_put(
+                        pats,
+                        NamedSharding(
+                            self.mask.sharding.mesh, PartitionSpec(None, None)
+                        ),
+                    )
+                self._patterns = (pidx, pats)
                 return self._patterns
             return None  # uncached: a later include_dense call may want it
         # Data-axis sharding is supported: the hash/verify programs run
         # distributed, pidx is placed with the row sharding and the pattern
         # table is replicated.  Column (model-axis) sharding keeps the
-        # general path (tables would need a D-psum).  Multi-PROCESS arrays
-        # need the explicit COLLECTIVE entry point `detect_patterns()` —
-        # pattern_info is a host-local lazy call that other processes may
-        # reach at different times, so it cannot launch collectives; without
-        # a prior detect_patterns() a multi-host dataset takes the general
-        # path (correct, just without the dedup speedup).  NOT cached: a
-        # cached False would make a LATER (documented) detect_patterns()
-        # call a silent no-op — the demotion must stay re-checkable.
-        if jax.process_count() > 1:
-            return None
+        # general path (tables would need a D-psum).
         sharded = len(self.mask.sharding.device_set) > 1
         mesh = None
         if sharded:
@@ -497,7 +519,7 @@ class Dataset:
         mark (observed OOM at N=4M, D=1024 bf16 on a 16 GB chip)."""
         if self.is_empty():
             return []
-        any_observed = np.asarray(jax.jit(functools.partial(jnp.any, axis=0))(self.mask))
+        any_observed = np.asarray(_any_over_rows(self.mask))
         return [int(i) for i in np.nonzero(~any_observed)[0]]
 
     def numpy(self) -> np.ndarray:

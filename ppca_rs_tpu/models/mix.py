@@ -338,7 +338,7 @@ class PPCAMix:
         kmax = max((m.state_size for m in self._models), default=0)
         return block_size_for(
             max(1, dataset.padded_len // (n_data * max(1, len(self._models)))),
-            kmax,
+            kmax, m=len(self._models),
         )
 
     def _component_llks(self, dataset: Dataset) -> jnp.ndarray:
@@ -589,6 +589,7 @@ class PPCAMix:
             block = block_size_for(
                 max(1, dataset.padded_len // max(1, len(self._models))),
                 max((m.state_size for m in self._models), default=0),
+                m=len(self._models),
             )
         else:
             from ..parallel.api import fns_for
@@ -599,6 +600,7 @@ class PPCAMix:
                 max(1, dataset.padded_len
                     // (mesh.shape[DATA_AXIS] * max(1, len(self._models)))),
                 max((m.state_size for m in self._models), default=0),
+                m=len(self._models),
             )
         return step, block
 

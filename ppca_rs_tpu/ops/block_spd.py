@@ -164,17 +164,45 @@ def _inv_logdet(M, base_fn: Callable, base: int):
     return jnp.concatenate([top, bot], axis=-2), ldA + ldS
 
 
+def solve_rows(k: int) -> int:
+    """Batch-chunk size for :func:`solve_psd`: the recursion holds ~6 live
+    (rows, k, k) f32 arrays, so cap each at ~256 MB."""
+    return max(LANE, (1 << 28) // max(1, k * k * 4))
+
+
 def solve_psd(S_sq: jax.Array, rhs: jax.Array, lam) -> jax.Array:
     """Batched ``(S[d] + lam I) x = rhs[d]`` through the blocked inverse —
     the shared M-step row solve for state sizes past the kernel ceiling
     (masked_linalg.em_finalize / mix_fused.mix_em_finalize).  ``S_sq`` is
     (B, k, k) symmetric PSD, ``rhs`` (B, k).  A singular row (e.g. an empty
     dimension with lam = 0) yields non-finite entries for that row exactly
-    like the LU path, taking the caller's keep-old-row fallback."""
-    k = S_sq.shape[-1]
-    A = S_sq + jnp.asarray(lam, S_sq.dtype) * jnp.eye(k, dtype=S_sq.dtype)
-    Ainv, _ = inv_logdet(A)
-    return mm_hp(Ainv, rhs[..., None])[..., 0]
+    like the LU path, taking the caller's keep-old-row fallback.
+
+    The batch runs in :func:`solve_rows`-sized chunks under ``lax.map``:
+    only the solutions persist across chunks, never the full (B, k, k)
+    inverse — at the mixture's (M*D, k, k) M-step batch (8192 rows at
+    k=512, M=8, D=1024) the unchunked inverse alone would be ~8.6 GB."""
+    B, k = rhs.shape
+    dtype = S_sq.dtype
+    eye = jnp.eye(k, dtype=dtype)
+    lamt = jnp.asarray(lam, dtype)
+
+    def one(args):
+        A, r = args
+        Ainv, _ = inv_logdet(A + lamt * eye)
+        return mm_hp(Ainv, r[..., None])[..., 0]
+
+    rows = solve_rows(k)
+    if B <= rows:
+        return one((S_sq, rhs))
+    nb = -(-B // rows)
+    pad = nb * rows - B
+    if pad:
+        # identity-padded rows solve (1 + lam) x = 0 -> 0; dropped below
+        S_sq = jnp.concatenate([S_sq, jnp.broadcast_to(eye, (pad, k, k))])
+        rhs = jnp.concatenate([rhs, jnp.zeros((pad, k), rhs.dtype)])
+    out = lax.map(one, (S_sq.reshape(nb, rows, k, k), rhs.reshape(nb, rows, k)))
+    return out.reshape(nb * rows, k)[:B]
 
 
 def inv_logdet(

@@ -456,11 +456,15 @@ def _block_mix(Cs, CCs, means, sigmas, log_weights, datab, mask_f, w,
                       resp_sum, resp_max, llk_mix)
 
 
-def _mix_prep(Cs, data, block_size, axis_model):
+def _mix_prep(Cs, data, block_size, axis_model, want="full"):
     M, D_loc, k = Cs.shape
     dtype = ml.compute_dtype(data.dtype, Cs.dtype)
     CCs = (Cs[:, :, :, None] * Cs[:, :, None, :]).reshape(M, D_loc, k * k)
-    use_kernel = ml._use_kernel(k, block_size, dtype, axis_model)  # full-variant ceiling
+    # gate on the PER-VERB kernel ceiling: lighter variants reach higher k
+    # (llk 456 / states 320 vs full 264), and past the ceiling the fallback
+    # body's _use_blocked(want) check must agree with this gate or k in the
+    # gap would silently take the XLA batched-Cholesky cliff.
+    use_kernel = ml._use_kernel(k, block_size, dtype, axis_model, want)
     return dtype, CCs, use_kernel
 
 
@@ -585,7 +589,7 @@ def mix_llks(Cs, means, sigmas, data, mask, *, block_size: int,
         )
         return flatten(out)
 
-    dtype, CCs, use_kernel = _mix_prep(Cs, data, block_size, axis_model)
+    dtype, CCs, use_kernel = _mix_prep(Cs, data, block_size, axis_model, "llk")
     lane_prep = _lane_major_prep(Cs, means, CCs) if use_kernel else None
 
     def body(_, fresh, datab, maskb):
@@ -631,7 +635,8 @@ def mix_infer(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
             n, block_size, (data, mask, pidx), body_pat, None
         )
     else:
-        dtype, CCs, use_kernel = _mix_prep(Cs, data, block_size, axis_model)
+        dtype, CCs, use_kernel = _mix_prep(Cs, data, block_size, axis_model,
+                                           "infer")
         lane_prep = _lane_major_prep(Cs, means, CCs) if use_kernel else None
 
         def body(_, fresh, datab, maskb):
@@ -675,7 +680,8 @@ def mix_smooth(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
         use_kernel = False
         lane_prep = None
     else:
-        dtype, CCs, use_kernel = _mix_prep(Cs, data, block_size, axis_model)
+        dtype, CCs, use_kernel = _mix_prep(Cs, data, block_size, axis_model,
+                                           "states")
         lane_prep = _lane_major_prep(Cs, means, CCs) if use_kernel else None
 
     def body(_, fresh, datab, maskb, pb=None):

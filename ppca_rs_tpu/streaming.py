@@ -257,7 +257,7 @@ def _mix_chunk_stats(mix, Cs, means, sigmas, ds: Dataset):
     mesh = _data_mesh_or_raise(ds)
     if mesh is None:
         block = block_size_for(max(1, ds.padded_len // max(1, len(mix._models))),
-                               int(Cs.shape[2]))
+                               int(Cs.shape[2]), m=len(mix._models))
         pat = mix._pattern(ds)
         if pat is not None:
             return _mix_stats_pat_jit(
@@ -272,7 +272,7 @@ def _mix_chunk_stats(mix, Cs, means, sigmas, ds: Dataset):
 
     block = block_size_for(
         max(1, ds.padded_len // (mesh.shape[DATA_AXIS] * max(1, len(mix._models)))),
-        int(Cs.shape[2]),
+        int(Cs.shape[2]), m=len(mix._models),
     )
     return fns_for(mesh, False)["mix_em_stats"](
         Cs, means, sigmas, mix._log_weights,

@@ -91,6 +91,22 @@ def main():
         model2 = model2.iterate(ds2)
     llk2 = float(model2.llk(ds2))
 
+    # Phase 3: a FULLY-OBSERVED multi-process dataset.  A lazy
+    # pattern_info(include_dense=True) (what the mixture path triggers)
+    # must demote to None BEFORE probing all_observed — the dense branch
+    # used to run first and cache process-local unsharded arrays as the
+    # pattern table (and launch the all_observed reduction from a
+    # host-local lazy call).  detect_patterns(include_dense=True) is the
+    # collective way and must return the sharding-pinned dense table.
+    dense = np.asarray(make_global_data(seed=5)[0])
+    dense = np.where(np.isnan(dense), 0.0, dense)
+    local3 = Dataset(dense[pid * half : (pid + 1) * half])
+    ds3 = distributed.shard_dataset_local(local3, mesh)
+    assert ds3.pattern_info(include_dense=True) is None
+    info3 = ds3.detect_patterns(include_dense=True)
+    assert info3 is not None and int(info3[1].shape[0]) == 1
+    assert len(info3[0].sharding.device_set) == 8  # globally sharded pidx
+
     print(json.dumps({
         "llk": llk,
         "transform": np.asarray(model.transform).tolist(),

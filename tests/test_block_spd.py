@@ -236,3 +236,34 @@ def test_block_size_for_shrinks_past_ceiling():
     assert big < config.block_size
     assert big * 512 * 512 * 16 <= (2 << 30)
     assert block_size_for(10**6) == config.block_size
+
+
+def test_solve_psd_chunked_matches_unchunked(rng, monkeypatch):
+    """solve_psd's lax.map batch chunking (identity-padded tail chunk) must
+    be exact vs the single-shot path, including a batch not a multiple of
+    the chunk size."""
+    from ppca_rs_tpu.ops import block_spd
+
+    k, B = 12, 333
+    A = rng.normal(size=(B, k, k))
+    S = jnp.asarray(A @ np.swapaxes(A, -1, -2) + 3.0 * np.eye(k), jnp.float64)
+    rhs = jnp.asarray(rng.normal(size=(B, k)), jnp.float64)
+
+    ref = block_spd.solve_psd(S, rhs, 0.5)
+    monkeypatch.setattr(block_spd, "solve_rows", lambda kk: 128)
+    got = block_spd.solve_psd(S, rhs, 0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_block_size_for_counts_mixture_components():
+    """The blocked-regime block shrink must scale with the number of
+    mixture components: the per-block problems stack M * block rows."""
+    from ppca_rs_tpu.config import block_size_for
+
+    b1 = block_size_for(1 << 22, 512)
+    b8 = block_size_for(1 << 22, 512, m=8)
+    assert b1 == 512  # single model: 512 * 512^2 * 16 B ~ 2 GiB
+    assert b8 == 128  # M=8 shrinks to the 128-row floor
+    b4 = block_size_for(1 << 22, 320, m=4)
+    assert b4 * 4 * 320 * 320 * 16 <= (2 << 30)

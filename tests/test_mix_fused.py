@@ -608,3 +608,45 @@ def test_mix_readouts_g_slab_matches(rng, monkeypatch):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(lp_got), np.asarray(lp_ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_mix_readout_gates_use_per_verb_want(rng, monkeypatch):
+    """Regression: _mix_prep must gate the kernel on each verb's own ceiling
+    ('llk' 456 / 'states' 320 vs 'full' 264).  Gating on 'full' left k in
+    (264, 456] llk / (264, 320] states silently on the XLA batched-Cholesky
+    cliff: the kernel gate said no (full ceiling) while the fallback's
+    _use_blocked(want) also said no (below the verb ceiling)."""
+    import jax
+    import jax.numpy as jnp
+    from ppca_rs_tpu.ops import masked_linalg as ml
+    from ppca_rs_tpu.ops import mix_fused as mf
+
+    seen = []
+    real = ml._use_kernel
+
+    def spy(k, block, dtype, axis_model, want="full"):
+        seen.append(want)
+        return False  # force the XLA fallback so no kernel runs on CPU
+
+    monkeypatch.setattr(ml, "_use_kernel", spy)
+    M, B, D, k = 2, 32, 8, 3
+    Cs = jnp.asarray(rng.normal(size=(M, D, k)), jnp.float32)
+    means = jnp.zeros((M, D), jnp.float32)
+    sigmas = jnp.ones((M,), jnp.float32)
+    lw = jnp.zeros((M,), jnp.float32)
+    data = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    mask = jnp.ones((B, D), bool)
+
+    mf.mix_llks(Cs, means, sigmas, data, mask, block_size=32)
+    mf.mix_infer(Cs, means, sigmas, lw, data, mask, block_size=32)
+    mf.mix_smooth(Cs, means, sigmas, lw, data, mask, block_size=32)
+    assert seen == ["llk", "infer", "states"], seen
+
+    # and the gates themselves never leave a routing gap on a (simulated)
+    # TPU: for every verb and k, kernel OR blocked must engage.
+    monkeypatch.setattr(ml, "_use_kernel", real)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for want in ("llk", "states", "full", "fullt", "infer"):
+        for kk in (64, 264, 272, 320, 328, 456, 464, 512):
+            assert ml._use_kernel(kk, 8192, jnp.float32, None, want) or \
+                ml._use_blocked(kk, 8192, jnp.float32, None, want), (want, kk)
