@@ -595,3 +595,42 @@ def test_mix_em_stats_slab_flags_match(rng, monkeypatch):
             np.testing.assert_allclose(np.asarray(got.dev_sq),
                                        np.asarray(ref.dev_sq),
                                        rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("want", ["full", "fullt", "infer", "states", "llk"])
+def test_kernel_lean_config_with_g_slabs_matches(rng, monkeypatch, want):
+    """Slab-mode G inputs composed with the LEAN big-k configuration
+    (single-buffered A, manual SM DMA) — the combination a k>192 TPU run
+    hits when g_slab_inputs is on — == the full-G lean run, forced at
+    small k via the shrunken VMEM budget."""
+    B, D, k = 256, 24, 24
+    C = jnp.asarray(rng.normal(size=(D, k)), jnp.float32)
+    mean = jnp.asarray(rng.normal(size=D), jnp.float32)
+    sig = jnp.float32(0.7)
+    data = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, D)) > 0.4)
+    data = jnp.where(mask, data, 0.0)
+    mf = mask.astype(jnp.float32)
+    CC3 = C[:, :, None] * C[:, None, :]
+    R = mf * (data - mean)
+    b_t = (R @ C).T
+    G3 = jnp.einsum("dij,bd->ijb", CC3, mf)
+    slabs = tuple(
+        jnp.einsum("dij,bd->ijb", CC3[:, r0:r1, r0:], mf)
+        for r0, r1 in kernels.g_slabs(k)
+    )
+    rnorm = jnp.sum(R * R, axis=-1)[None, :]
+    dob = jnp.sum(mf, axis=-1)[None, :]
+
+    _force_lean(monkeypatch, want, k)
+    assert kernels._kernel_config(want, k, kernels.LANE)[0]
+    ref = kernels.spd_estep(sig, G3, b_t, rnorm, dob, want=want, interpret=True)
+    got = kernels.spd_estep(sig, slabs, b_t, rnorm, dob, want=want,
+                            interpret=True)
+    tril = np.tril(np.ones((k, k)))[:, :, None]
+    for i, (g, r) in enumerate(zip(got, ref)):
+        g, r = np.asarray(g), np.asarray(r)
+        if want == "fullt" and i == 1:
+            g, r = g * tril, r * tril
+        np.testing.assert_array_equal(g, r, err_msg=f"want={want} out={i}")
+    kernels.spd_estep.clear_cache()
