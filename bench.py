@@ -122,24 +122,30 @@ def main():
     _, llks_w = model.iterate_n(dataset, args.iters)
     log(f"compile+first run: {time.perf_counter() - t0:.2f}s, llk0/N={llks_w[0] / N:.6g}")
 
-    # Timed run on a same-shape dataset with a fresh weights buffer: the
+    # Timed runs on same-shape datasets with fresh weight buffers: the
     # remote-dispatch layer caches results per (program, args), so reusing
-    # the warmup operands verbatim would time a cache hit.
-    w2 = jnp.full((N,), 1.0 + 1e-7, jnp.float32)
-    dataset2 = Dataset.from_parts(data, mask, weights=w2)
-    if n_chips > 1:
-        dataset2 = shard_dataset(dataset2, mesh)
-    jax.block_until_ready(dataset2.weights_dev)
+    # the warmup operands verbatim would time a cache hit.  Best of 2: the
+    # remote tunnel occasionally charges a multi-second one-time cost to the
+    # first post-compile execution (measured: a 10-iter run at 6.4s followed
+    # by a 20-iter run of the same program at 5.8s), so a single timed run
+    # can understate steady-state throughput by >2x.
+    elapsed = float("inf")
+    for rep in range(2):
+        w2 = jnp.full((N,), 1.0 + (rep + 1) * 1e-7, jnp.float32)
+        dataset2 = Dataset.from_parts(data, mask, weights=w2)
+        if n_chips > 1:
+            dataset2 = shard_dataset(dataset2, mesh)
+        jax.block_until_ready(dataset2.weights_dev)
 
-    t0 = time.perf_counter()
-    model2, llks = model.iterate_n(dataset2, args.iters)
-    final_llk = float(llks[-1])          # forces the scan outputs
-    jax.block_until_ready(model2._transform)
-    elapsed = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        model2, llks = model.iterate_n(dataset2, args.iters)
+        final_llk = float(llks[-1])          # forces the scan outputs
+        jax.block_until_ready(model2._transform)
+        elapsed = min(elapsed, time.perf_counter() - t0)
     iters_per_sec = args.iters / elapsed
     samples_per_sec = N * args.iters / elapsed / n_chips
     log(
-        f"{args.iters} EM iters (one compiled scan) in {elapsed:.3f}s -> "
+        f"{args.iters} EM iters (one compiled scan, best of 2 runs) in {elapsed:.3f}s -> "
         f"{iters_per_sec:.3f} iters/s, {samples_per_sec:.3e} samples/s/chip, "
         f"llk[last]/N={final_llk / N:.6g}, sigma={model2.isotropic_noise:.4f}"
     )
@@ -155,7 +161,7 @@ def main():
                 "value": round(samples_per_sec, 1),
                 "unit": (
                     f"samples/s/chip (fused EM iter incl. llk, {args.iters}-iter "
-                    f"compiled scan, D={D}, k={k}, "
+                    f"compiled scan, best of 2 runs, D={D}, k={k}, "
                     f"N={N}, {int(args.missing * 100)}% missing, {args.dtype} storage, {n_chips} chip(s))"
                 ),
                 "vs_baseline": round(samples_per_sec * n_chips / baseline, 3),
