@@ -1,0 +1,28 @@
+#!/bin/bash
+# Reduced round-3 A/B batch at the microbench default N=262144 (the N=1M
+# variants compile 831 s/arm over the tunnel -- unusable; the N=1M
+# e2e-vs-marginal question was already answered by bench.py --iters 20:
+# per-iter marginal 281 ms == microbench 287 ms, gap is fixed dispatch).
+set -x
+cd /root/repo
+R() { timeout 600 "$@" 2>&1 | tail -2; }
+# masked slab A/B
+R python tools/em_microbench.py --path masked --reps 2
+R env PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path masked --reps 2
+R env PPCA_RS_TPU_G_SLAB_INPUTS=1 python tools/em_microbench.py --path masked --reps 2
+R env PPCA_RS_TPU_G_SLAB_INPUTS=1 PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path masked --reps 2
+# fused mixture slab A/B (D=512/k=32/M=8)
+R python tools/em_microbench.py --path mix --reps 2
+R env PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path mix --reps 2
+R env PPCA_RS_TPU_G_SLAB_INPUTS=1 python tools/em_microbench.py --path mix --reps 2
+R env PPCA_RS_TPU_G_SLAB_INPUTS=1 PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path mix --reps 2
+# pattern paths (s_slab only)
+R python tools/em_microbench.py --path pat --reps 2
+R env PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path pat --reps 2
+R python tools/em_microbench.py --path patmix --reps 2
+R env PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path patmix --reps 2
+# bf16 storage marginal
+R python tools/em_microbench.py --path masked --reps 2 --dtype bfloat16
+# mixture at k=64 (bigger wedge)
+R python tools/em_microbench.py --path mix --k 64 --reps 2
+R env PPCA_RS_TPU_G_SLAB_INPUTS=1 PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path mix --k 64 --reps 2
