@@ -168,16 +168,15 @@ class DataFrameAdapter:
         (`python/ppca_rs/__init__.py:272-296`)."""
         if self.origin == "pandas":
             ordered = self.dimension_idx.sort_values("__dim_idx")
-            dim_rows = [
-                [row[c] for c in self.dimensions]
-                for _, row in ordered.iterrows()
-            ]
+            # columnar extraction (no per-row iterrows): one ndarray per
+            # column, zipped — mixed dtypes stay exact (object columns keep
+            # their Python values; tolist() would not change that either).
+            cols = [ordered[c].to_numpy().tolist() for c in self.dimensions]
+            dim_rows = [list(t) for t in zip(*cols)]
         elif self.origin == "polars":
             ordered = self.dimension_idx.sort("__dim_idx")
-            dim_rows = [
-                [ordered[c][i] for c in self.dimensions]
-                for i in range(len(ordered))
-            ]
+            cols = [list(ordered[c]) for c in self.dimensions]
+            dim_rows = [list(t) for t in zip(*cols)]
         else:
             raise ValueError(f"Unknown origin {self.origin}")
         return DataFrameAdapterDescription(

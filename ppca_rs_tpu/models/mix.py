@@ -136,6 +136,16 @@ def _mix_em_n_pat_adapter(pat, Cs, means, sigmas, log_weights, data, mask,
                              mean_prior, block_size, n_iters)
 
 
+def _sharded_mix_em_pat_adapter(fn, pat, Cs, means, sigmas, log_weights, data,
+                                mask, weights, tprec, noise_prior, mean_prior,
+                                block_size, *n_iters):
+    """Reorder the generic EM-step call signature into the sharded pattern
+    verbs' (weights, pidx, pats, ...) order (parallel/api.py)."""
+    return fn(Cs, means, sigmas, log_weights, data, mask, weights,
+              pat[0], pat[1], tprec, noise_prior, mean_prior, block_size,
+              *n_iters)
+
+
 @functools.partial(jax.jit, static_argnames=("block_size",))
 def _mix_llks_pat_jit(Cs, means, sigmas, data, mask, pidx, pats, block_size):
     return mf.mix_llks(Cs, means, sigmas, data, mask,
@@ -169,6 +179,29 @@ def _mix_smooth_jit(Cs, means, sigmas, log_weights, data, mask, block_size, extr
         Cs, means, sigmas, log_weights, data, mask,
         block_size=block_size, extrapolate=extrapolate,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _mix_sample_jit(Cs, means, sigmas, log_weights, mask_prob, n, key):
+    """Ancestral sampling in ONE device program (`mix.rs:176-190` semantics):
+    component index from the prior weights, then that component's generative
+    model.  The latent/output noise and the Bernoulli mask are drawn once for
+    the whole batch (they are component-independent), so peak memory is
+    O(N D) — no M full (N, D) datasets.  Padded latent columns of the
+    stacked transforms are exactly inert (see _stacked_params)."""
+    kc, kz, ke, km = jax.random.split(key, 4)
+    M, D, kmax = Cs.shape
+    dtype = Cs.dtype
+    comp = jax.random.categorical(kc, log_weights, shape=(n,))
+    z = jax.random.normal(kz, (n, kmax), dtype=dtype)
+    eps = jax.random.normal(ke, (n, D), dtype=dtype)
+    proj = jnp.zeros((n, D), dtype=dtype)
+    for i in range(M):
+        sel = (comp == i)[:, None]
+        proj = proj + jnp.where(sel, z @ Cs[i].T, jnp.zeros((), dtype))
+    values = proj + means[comp] + sigmas[comp][:, None] * eps
+    observed = jax.random.bernoulli(km, 1.0 - mask_prob, (n, D))
+    return jnp.where(observed, values, 0.0), observed
 
 
 @jax.jit
@@ -316,10 +349,9 @@ class PPCAMix:
         ops/dense_fast.py; mixtures share the table machinery instead).
 
         Data-axis-sharded datasets are allowed (pattern_info shards pidx
-        with the rows; the inference verbs have *_pat shard_map twins);
-        model-axis sharding and multi-process arrays are demoted inside
-        pattern_info itself.  The sharded EM dispatch does not consult this
-        (mixture EM tables are unsharded-only for now)."""
+        with the rows; the inference AND EM verbs have *_pat shard_map
+        twins in parallel/api.py); model-axis sharding and multi-process
+        arrays are demoted inside pattern_info itself."""
         from ..parallel.mesh import MODEL_AXIS, dataset_mesh
 
         mesh = dataset_mesh(dataset)
@@ -394,22 +426,16 @@ class PPCAMix:
 
     def sample(self, dataset_size: int, mask_probability: float, key=None) -> Dataset:
         """Ancestral sampling: component index from the prior weights, then
-        that component's generative model."""
+        that component's generative model — one fused device program with
+        O(N D) peak memory (see _mix_sample_jit)."""
         key = ensure_key(key)
-        kc, ks = jax.random.split(key)
-        comp = jax.random.categorical(kc, self._log_weights, shape=(dataset_size,))
-        keys = jax.random.split(ks, len(self._models))
-        data = None
-        mask = None
-        for i, (m, ki) in enumerate(zip(self._models, keys)):
-            ds_i = m.sample(dataset_size, mask_probability, key=ki)
-            sel = (comp == i)[:, None]
-            if data is None:
-                data, mask = ds_i.data, ds_i.mask
-            else:
-                data = jnp.where(sel, ds_i.data, data)
-                mask = jnp.where(sel, ds_i.mask, mask)
-        return Dataset.from_parts(data, mask)
+        Cs, means, sigmas = self._stacked_params()
+        with _precision(self._output_size):
+            values, observed = _mix_sample_jit(
+                Cs, means, sigmas, self._log_weights,
+                float(mask_probability), int(dataset_size), key,
+            )
+        return Dataset.from_parts(values, observed)
 
     # ------------------------------------------------------------------ #
     # inference (mix.rs:193-265)
@@ -595,7 +621,16 @@ class PPCAMix:
             from ..parallel.api import fns_for
 
             use_model = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
-            step = fns_for(mesh, use_model)["mix_em_n" if n_variant else "mix_em_step"]
+            fns = fns_for(mesh, use_model)
+            # _pattern is None on model-axis meshes / multi-process arrays,
+            # so the table path only ever rides data-parallel shardings —
+            # where it keeps the same M x P speedup as the unsharded EM.
+            pat = self._pattern(dataset)
+            if pat is not None:
+                base = fns["mix_em_n_pat" if n_variant else "mix_em_step_pat"]
+                step = functools.partial(_sharded_mix_em_pat_adapter, base, pat)
+            else:
+                step = fns["mix_em_n" if n_variant else "mix_em_step"]
             block = block_size_for(
                 max(1, dataset.padded_len
                     // (mesh.shape[DATA_AXIS] * max(1, len(self._models)))),
@@ -729,6 +764,20 @@ class InferredMaskedMix:
             d = inf._states - mean
             total = total + post[:, i, None, None] * (
                 inf._covariances + d[:, :, None] * d[:, None, :]
+            )
+        return list(np.asarray(total))
+
+    def second_moments(self) -> List[np.ndarray]:
+        """Mixture-posterior second moments ``E[s s^T] = sum_i post_i
+        (Sigma_i + s_i s_i^T)`` — the mixture twin of
+        `ppca_model.rs:437-439`, consistent with ``covariances()``'s
+        law-of-total-variance (second moment = covariance + mean mean^T)."""
+        self._require_equal_state_sizes()
+        post = jnp.exp(self._log_post)
+        total = 0.0
+        for i, inf in enumerate(self._inferred):
+            total = total + post[:, i, None, None] * (
+                inf._covariances + inf._states[:, :, None] * inf._states[:, None, :]
             )
         return list(np.asarray(total))
 

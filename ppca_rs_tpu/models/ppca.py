@@ -192,6 +192,11 @@ def _extrapolated_cov_diag_jit(C, sigma, covs, mask):
 
 
 @jax.jit
+def _second_moments_jit(states, covs):
+    return covs + states[:, :, None] * states[:, None, :]
+
+
+@jax.jit
 def _smoothed_cov_full_jit(C, sigma, covs):
     full = jnp.einsum("dk,nkl,el->nde", C, covs, C)
     D = C.shape[0]
@@ -775,6 +780,16 @@ class InferredMasked:
     def covariances_array(self) -> np.ndarray:
         """(N, k, k) stacked covariances — TPU-native extra."""
         return np.asarray(self._covariances)
+
+    def second_moments(self) -> List[np.ndarray]:
+        """Per-sample posterior second moments ``s s^T + Sigma``
+        (`ppca_model.rs:437-439`; absent from the reference's Python
+        bindings — exposed here for core-crate parity)."""
+        return list(np.asarray(_second_moments_jit(self._states, self._covariances)))
+
+    def second_moments_array(self) -> np.ndarray:
+        """(N, k, k) stacked second moments — TPU-native extra."""
+        return np.asarray(_second_moments_jit(self._states, self._covariances))
 
     def smoothed(self, model: PPCAModel) -> Dataset:
         """C s + mu per sample (`ppca_model.rs:454-457`)."""

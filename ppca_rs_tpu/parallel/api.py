@@ -513,6 +513,103 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         )(Cs, means, sigmas, log_weights, data, mask, weights,
           tprec, noise_prior, mean_prior)
 
+    def _mix_em_body_pat(Cs, means, sigmas, log_weights, data, mask, weights,
+                         pidx, pats, tprec, noise_prior, mean_prior,
+                         block_size):
+        """Pattern-table twin of _mix_em_body (`mix.rs:281-337` semantics):
+        each data shard runs the M x P table path on its local rows, then
+        the statistics combine exactly like the general path."""
+        from ..ops import mix_fused as mfd
+
+        stats = mfd.mix_em_stats_pat(
+            Cs, means, sigmas, log_weights, data, mask, pidx, pats, weights,
+            block_size=block_size,
+        )
+        stats = mfd.MixEMStats(
+            *(
+                lax.pmax(x, DATA_AXIS) if name == "resp_max"
+                else lax.psum(x, DATA_AXIS)
+                for name, x in zip(stats._fields, stats)
+            )
+        )
+        out = mfd.mix_em_finalize(
+            Cs, means, sigmas, stats,
+            transformation_precision=tprec,
+            noise_prior=noise_prior,
+            mean_prior=mean_prior,
+        )
+        return out, stats.llk
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
+    def mix_em_step_pat(Cs, means, sigmas, log_weights, data, mask, weights,
+                        pidx, pats, tprec, noise_prior, mean_prior,
+                        block_size):
+        def inner(Cs, means, sigmas, log_weights, data, mask, weights,
+                  pidx, pats, tprec, noise_prior, mean_prior):
+            (new_Cs, new_means, new_sigmas, new_logw), llk = _mix_em_body_pat(
+                Cs, means, sigmas, log_weights, data, mask, weights,
+                pidx, pats, tprec, noise_prior, mean_prior, block_size,
+            )
+            return new_Cs, new_means, new_sigmas, new_logw, llk
+
+        return smap(
+            inner,
+            (P(None, col, None), P(None, col), rep, rep,
+             rows, rows, wspec, pspec, rep, rep, rep, rep),
+            (P(None, col, None), P(None, col), rep, rep, rep),
+        )(Cs, means, sigmas, log_weights, data, mask, weights,
+          pidx, pats, tprec, noise_prior, mean_prior)
+
+    @functools.partial(jax.jit, static_argnames=("block_size", "n_iters"))
+    def mix_em_n_pat(Cs, means, sigmas, log_weights, data, mask, weights,
+                     pidx, pats, tprec, noise_prior, mean_prior,
+                     block_size, n_iters):
+        def inner(Cs, means, sigmas, log_weights, data, mask, weights,
+                  pidx, pats, tprec, noise_prior, mean_prior):
+            def step(carry, _):
+                return _mix_em_body_pat(*carry, data, mask, weights, pidx,
+                                        pats, tprec, noise_prior, mean_prior,
+                                        block_size)
+            carry, llks = lax.scan(
+                step, (Cs, means, sigmas, log_weights), None, length=n_iters
+            )
+            return (*carry, llks)
+
+        return smap(
+            inner,
+            (P(None, col, None), P(None, col), rep, rep,
+             rows, rows, wspec, pspec, rep, rep, rep, rep),
+            (P(None, col, None), P(None, col), rep, rep, rep),
+        )(Cs, means, sigmas, log_weights, data, mask, weights,
+          pidx, pats, tprec, noise_prior, mean_prior)
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
+    def mix_em_stats_pat_only(Cs, means, sigmas, log_weights, data, mask,
+                              weights, pidx, pats, block_size):
+        """Pattern-table twin of mix_em_stats_only for the streaming
+        accumulator (data-parallel meshes only)."""
+        from ..ops import mix_fused as mfd
+
+        def inner(Cs, means, sigmas, log_weights, data, mask, weights,
+                  pidx, pats):
+            stats = mfd.mix_em_stats_pat(
+                Cs, means, sigmas, log_weights, data, mask, pidx, pats,
+                weights, block_size=block_size,
+            )
+            return mfd.MixEMStats(
+                *(
+                    lax.pmax(x, DATA_AXIS) if name == "resp_max"
+                    else lax.psum(x, DATA_AXIS)
+                    for name, x in zip(stats._fields, stats)
+                )
+            )
+        return smap(
+            inner,
+            (P(None, col, None), P(None, col), rep, rep,
+             rows, rows, wspec, pspec, rep),
+            rep,
+        )(Cs, means, sigmas, log_weights, data, mask, weights, pidx, pats)
+
     fns = {
         "llks": llks,
         "llk": llk,
@@ -534,6 +631,8 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         "mix_smooth_pat": mix_smooth_pat,
         "mix_em_step": mix_em_step,
         "mix_em_n": mix_em_n,
+        "mix_em_step_pat": mix_em_step_pat,
+        "mix_em_n_pat": mix_em_n_pat,
     }
     if not use_model_axis:
         # stats-only verbs (the streaming accumulator's sources) psum over
@@ -542,4 +641,5 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         fns["em_stats"] = em_stats_only
         fns["em_stats_pat"] = em_stats_pat_only
         fns["mix_em_stats"] = mix_em_stats_only
+        fns["mix_em_stats_pat"] = mix_em_stats_pat_only
     return fns

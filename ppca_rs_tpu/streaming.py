@@ -36,7 +36,8 @@ from .dataset import Dataset
 from .models.ppca import PPCAModel, _precision
 from .ops import masked_linalg as ml
 from .prior import Prior
-from .trainer import Metric, MetricsCallback, TrainMetrics
+from .trainer import Metric, MetricsCallback, TrainMetrics, _maybe_checkpoint
+from .utils.profiling import trace
 
 ChunkLike = Union[Dataset, Callable[[], Dataset]]
 
@@ -169,23 +170,29 @@ def _accumulate(chunks, stats_fn, add_fn):
 
 
 def _train_loop(model0, chunks, iterate_fn, prior, n_iters, metric, quiet,
-                callback, label):
+                callback, label, profile_dir=None, checkpoint_path=None,
+                checkpoint_every=10):
     """The shared trainer driver: n_iters streamed iterations with the
-    reference's per-iteration metric printing/callback."""
+    reference's per-iteration metric printing/callback, plus the in-memory
+    trainers' checkpoint/profile hooks (trainer.py:92-106) — the streaming
+    path is the one most likely to run long enough to need them."""
     model = model0
     n = None  # counted during the first streamed pass — no extra I/O
-    for idx in range(n_iters):
-        n_out: list = []
-        new_model, llk = iterate_fn(model, chunks, prior, _n_out=n_out)
-        n = n if n is not None else n_out[0]
-        if not quiet or callback is not None:
-            metrics = TrainMetrics.compute(llk, model.n_parameters, n)
-            if callback is not None:
-                callback(idx + 1, metrics)
-            if not quiet:
-                print(f"{label} iteration {idx + 1}: "
-                      f"{metric}={getattr(metrics, metric)}")
-        model = new_model
+    with trace(profile_dir):
+        for idx in range(n_iters):
+            n_out: list = []
+            new_model, llk = iterate_fn(model, chunks, prior, _n_out=n_out)
+            n = n if n is not None else n_out[0]
+            if not quiet or callback is not None:
+                metrics = TrainMetrics.compute(llk, model.n_parameters, n)
+                if callback is not None:
+                    callback(idx + 1, metrics)
+                if not quiet:
+                    print(f"{label} iteration {idx + 1}: "
+                          f"{metric}={getattr(metrics, metric)}")
+            model = new_model
+            _maybe_checkpoint(model, idx + 1, n_iters, checkpoint_path,
+                              checkpoint_every)
     return model.to_canonical()
 
 
@@ -236,13 +243,17 @@ class StreamingPPCATrainer:
         quiet: bool = False,
         callback: Optional[MetricsCallback] = None,
         key=None,
+        profile_dir: Optional[str] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 10,
     ) -> PPCAModel:
         if start is not None:
             model = start  # warm start: no chunk I/O before the first pass
         else:
             model = PPCAModel.init(state_size, _resolve(self.chunks[0]), key=key)
         return _train_loop(model, self.chunks, iterate_streamed, prior,
-                           n_iters, metric, quiet, callback, "Masked PPCA")
+                           n_iters, metric, quiet, callback, "Masked PPCA",
+                           profile_dir, checkpoint_path, checkpoint_every)
 
 
 # ===================================================================== #
@@ -274,7 +285,14 @@ def _mix_chunk_stats(mix, Cs, means, sigmas, ds: Dataset):
         max(1, ds.padded_len // (mesh.shape[DATA_AXIS] * max(1, len(mix._models)))),
         int(Cs.shape[2]), m=len(mix._models),
     )
-    return fns_for(mesh, False)["mix_em_stats"](
+    fns = fns_for(mesh, False)
+    pat = mix._pattern(ds)
+    if pat is not None:
+        return fns["mix_em_stats_pat"](
+            Cs, means, sigmas, mix._log_weights,
+            ds.data, ds.mask, ds.weights_dev, pat[0], pat[1], block,
+        )
+    return fns["mix_em_stats"](
         Cs, means, sigmas, mix._log_weights,
         ds.data, ds.mask, ds.weights_dev, block,
     )
@@ -373,6 +391,9 @@ class StreamingPPCAMixTrainer:
         quiet: bool = False,
         callback: Optional[MetricsCallback] = None,
         key=None,
+        profile_dir: Optional[str] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 10,
     ):
         from .models.mix import PPCAMix
 
@@ -382,4 +403,5 @@ class StreamingPPCAMixTrainer:
             mix = PPCAMix.init(n_models, state_size, _resolve(self.chunks[0]),
                                key=key)
         return _train_loop(mix, self.chunks, iterate_mix_streamed, prior,
-                           n_iters, metric, quiet, callback, "Masked PPCA mix")
+                           n_iters, metric, quiet, callback, "Masked PPCA mix",
+                           profile_dir, checkpoint_path, checkpoint_every)

@@ -163,6 +163,19 @@ def test_mix_state_covariance_law_of_total_variance():
         np.testing.assert_allclose(covs[n], want, rtol=1e-7, atol=1e-10)
 
 
+def test_mix_second_moments():
+    """E[s s^T] = sum_i post_i (Sigma_i + s_i s_i^T) = cov + mean mean^T."""
+    mix = two_component_mix()
+    data = mix.sample(10, 0.3)
+    inf = mix.infer(data)
+    states = inf.states()
+    covs = inf.covariances()
+    sms = inf.second_moments()
+    for n in range(10):
+        want = covs[n] + np.outer(states[n], states[n])
+        np.testing.assert_allclose(sms[n], want, rtol=1e-7, atol=1e-10)
+
+
 def test_mix_to_canonical_preserves_llk():
     mix = two_component_mix()
     data = mix.sample(40, 0.2)

@@ -124,6 +124,22 @@ def test_covariance_readouts_parity(problem):
         np.testing.assert_allclose(ex_full[i], want_ex_full, rtol=1e-8, atol=1e-10)
 
 
+def test_second_moments_parity(problem):
+    """`ppca_model.rs:437-439`: second_moment = s s^T + Sigma."""
+    C, mean, sigma, data, mask, weights = problem
+    model = PPCAModel(isotropic_noise=sigma, transform=C, mean=mean)
+    ds = as_dataset(data, weights)
+    inf = model.infer(ds)
+    states = inf.states()
+    covs = inf.covariances_array()
+    sm_list = inf.second_moments()
+    sm_arr = inf.second_moments_array()
+    for i in range(data.shape[0]):
+        want = covs[i] + np.outer(states[i], states[i])
+        np.testing.assert_allclose(sm_list[i], want, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(sm_arr[i], want, rtol=1e-9, atol=1e-12)
+
+
 @pytest.mark.parametrize("prior_kind", ["none", "noise", "mean", "ridge", "all"])
 def test_em_step_parity(problem, rng, prior_kind):
     C, mean, sigma, data, mask, weights = problem

@@ -222,3 +222,74 @@ def test_stats_verbs_absent_on_model_axis_mesh(rng):
     assert "em_step" in fns                      # full steps still exist
     fns_dp = fns_for(make_mesh(data=8, model=1), False)
     assert "em_stats" in fns_dp and "mix_em_stats" in fns_dp
+
+
+def test_mix_streamed_sharded_pattern_chunks(rng):
+    """Sharded mixture chunks with few mask patterns ride the sharded
+    mix_em_stats_pat verb (streaming._mix_chunk_stats) and agree with the
+    single-shot fused EM."""
+    from ppca_rs_tpu import PPCAMix, iterate_mix_streamed
+    from ppca_rs_tpu.parallel.mesh import make_mesh, shard_dataset
+
+    n, d, P = 96, 6, 3
+    pats = rng.random((P, d)) > 0.3
+    pats[:, 0] = True
+    pidx = rng.integers(0, P, size=n)
+    data = np.where(pats[pidx], rng.normal(size=(n, d)), np.nan)
+    full = Dataset(data)
+    mesh = make_mesh(data=4, model=1)
+    sub = shard_dataset(full.slice(0, 32), mesh)
+    assert sub.pattern_info() is not None  # the sharded pat stats verb is live
+    chunks = [sub, full.slice(32, 96)]
+    models = [
+        PPCAModel(isotropic_noise=0.5, transform=rng.normal(size=(d, 2)),
+                  mean=np.zeros(d))
+        for _ in range(2)
+    ]
+    mix = PPCAMix(models, np.zeros(2))
+    m1, llk1 = iterate_mix_streamed(mix, chunks)
+    m2, llk2 = mix._iterate_with_llk(full, Prior())
+    assert np.isclose(llk1, llk2, rtol=1e-9)
+    for a, b in zip(m1.models, m2.models):
+        np.testing.assert_allclose(a.transform, b.transform, rtol=1e-7, atol=1e-10)
+
+
+def test_streaming_trainer_checkpoint_resume(rng, tmp_path):
+    """The streaming trainers carry the in-memory trainers' checkpoint/
+    profile hooks (VERDICT r3 weak #6): a mid-training dump restores and
+    resumes as a warm start, and profiling traces the run."""
+    from ppca_rs_tpu import PPCAMix, StreamingPPCAMixTrainer
+
+    data = make_data(rng)
+    full = Dataset(data)
+    chunks = list(full.chunks(3))
+    path = str(tmp_path / "stream.ppca")
+    trained = StreamingPPCATrainer(chunks).train(
+        state_size=2, n_iters=4, quiet=True,
+        checkpoint_path=path, checkpoint_every=2,
+        profile_dir=str(tmp_path / "trace"),
+    )
+    with open(path, "rb") as fh:
+        restored = PPCAModel.load(fh.read())
+    assert restored.state_size == 2
+    # the final checkpoint is the pre-canonicalization end state
+    np.testing.assert_allclose(
+        restored.to_canonical().transform, trained.transform, rtol=1e-7
+    )
+    resumed = StreamingPPCATrainer(chunks).train(
+        start=restored, state_size=2, n_iters=1, quiet=True,
+    )
+    assert np.isfinite(resumed.llk(full))
+
+    mpath = str(tmp_path / "stream_mix.ppca")
+    StreamingPPCAMixTrainer(chunks).train(
+        n_models=2, state_size=2, n_iters=3, quiet=True,
+        checkpoint_path=mpath, checkpoint_every=2,
+    )
+    with open(mpath, "rb") as fh:
+        rmix = PPCAMix.load(fh.read())
+    assert len(rmix.models) == 2
+    resumed_mix = StreamingPPCAMixTrainer(chunks).train(
+        start=rmix, n_models=2, state_size=2, n_iters=1, quiet=True,
+    )
+    assert np.isfinite(resumed_mix.llk(full))
