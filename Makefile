@@ -1,6 +1,15 @@
 # Build/test/bench entry points (capability twin of the reference Makefile).
 
-.PHONY: test test-fast bench native examples clean
+.PHONY: test test-fast bench native examples clean tpu-check
+
+# Revalidate every Pallas path on REAL hardware before trusting bench
+# numbers: interpret-mode tests zero-fill scratch and so cannot catch
+# stale-VMEM-class bugs by construction. Run at the start of any TPU
+# session (needs the TPU tunnel up).
+tpu-check:
+	python tools/slab_hw_check.py
+	python tools/tpu_check.py
+	PYTHONPATH=.:$$PYTHONPATH python examples/toy_model.py
 
 test:
 	python -m pytest tests/ -q

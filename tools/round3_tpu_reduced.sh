@@ -5,7 +5,18 @@
 # per-iter marginal 281 ms == microbench 287 ms, gap is fixed dispatch).
 set -x
 cd /root/repo
-R() { timeout 600 "$@" 2>&1 | tail -2; }
+mkdir -p logs
+# Preflight: slab flags are only trustworthy after a hardware parity check
+# on THIS chip/tunnel (interpret mode zero-fills scratch; hardware leaves
+# the dead G wedge as stale VMEM). Round-3e recorded parity OK, but a new
+# session must re-stamp it.
+timeout 900 python tools/slab_hw_check.py 2>&1 | tee logs/slab_hw_check.log | tail -6
+arm=0
+R() {
+  # full output lands in logs/armNN.log so failures stay diagnosable
+  arm=$((arm + 1))
+  timeout 600 "$@" 2>&1 | tee "logs/arm$(printf %02d $arm).log" | tail -2
+}
 # masked slab A/B
 R python tools/em_microbench.py --path masked --reps 2
 R env PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path masked --reps 2
