@@ -396,7 +396,13 @@ class PPCAMix:
             from ..parallel.api import fns_for
 
             use_model = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
-            return fns_for(mesh, use_model)["mix_llks"](
+            fns = fns_for(mesh, use_model)
+            pat = self._pattern(dataset)  # None on model-axis meshes
+            if pat is not None:
+                return fns["mix_llks_pat"](
+                    Cs, means, sigmas, dataset.data, dataset.mask, *pat, block
+                )
+            return fns["mix_llks"](
                 Cs, means, sigmas, dataset.data, dataset.mask, block
             )
 

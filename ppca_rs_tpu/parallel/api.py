@@ -384,6 +384,23 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         )(Cs, means, sigmas, log_weights, data, mask)
 
     @functools.partial(jax.jit, static_argnames=("block_size",))
+    def mix_llks_pat(Cs, means, sigmas, data, mask, pidx, pats, block_size):
+        """Pattern-table twin of mix_llks (data-parallel meshes only)."""
+        from ..ops import mix_fused as mfd
+
+        def inner(Cs, means, sigmas, data, mask, pidx, pats):
+            return mfd.mix_llks(
+                Cs, means, sigmas, data, mask,
+                block_size=block_size, pidx=pidx, patterns=pats,
+            )
+
+        return smap(
+            inner,
+            (P(None, col, None), P(None, col), rep, rows, rows, pspec, rep),
+            P(DATA_AXIS),
+        )(Cs, means, sigmas, data, mask, pidx, pats)
+
+    @functools.partial(jax.jit, static_argnames=("block_size",))
     def mix_infer_pat(Cs, means, sigmas, log_weights, data, mask, pidx, pats,
                       block_size):
         """Pattern-table twin of mix_infer (data-parallel meshes only, like
@@ -625,6 +642,7 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         "em_step_pat": em_step_pat,
         "em_n_pat": em_n_pat,
         "mix_llks": mix_llks,
+        "mix_llks_pat": mix_llks_pat,
         "mix_infer": mix_infer,
         "mix_smooth": mix_smooth,
         "mix_infer_pat": mix_infer_pat,

@@ -231,6 +231,8 @@ def test_sharded_mixture_inference_pattern(rng):
     mix = PPCAMix.init(2, k, ds, key=jax.random.PRNGKey(5))
 
     assert sds.pattern_info() is not None  # the sharded table path is live
+    np.testing.assert_allclose(mix.llks(sds), mix.llks(ds), rtol=1e-8, atol=1e-10)
+    assert np.isclose(mix.llk(sds), mix.llk(ds), rtol=1e-9)
     inf_s = mix.infer(sds)
     inf_d = mix.infer(ds)
     np.testing.assert_allclose(
