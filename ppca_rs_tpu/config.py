@@ -57,14 +57,20 @@ class Config:
     #: dot_generals cut that contraction's flops and the SM HBM re-read to
     #: ~0.6x at k=64.  Only affects the kernel-routed masked em_stats path;
     #: numerics are exactly the tril+tril^T semantics either way.
-    s_slab_stats: bool = False
+    #: Default ON since the round-4 v5e A/B (logs/round4_tpu_batch.log):
+    #: masked D=1024/k=64/N=1M marginal 3.54 -> 3.81M samples/s alone,
+    #: 4.09M combined with g_slab_inputs (+15.5%); patmix +13.9%; pat +1.2%;
+    #: the one soft spot is fused-mix k=32 (-2% alone, still +5% combined).
+    s_slab_stats: bool = True
 
     #: Feed the fused kernel's Gram input as wedge SLABS (kernels.g_slabs):
     #: the kernel only reads the dim1 >= dim0 wedge of G, so the Gram
     #: matmul computes and writes only that wedge (~0.6x flops + HBM write
     #: at k=64) and the kernel DMAs each slab to its static A region.
     #: Requires k % 8 == 0; only affects kernel-routed masked paths.
-    g_slab_inputs: bool = False
+    #: Default ON since the round-4 v5e A/B: masked marginal +6.6% alone,
+    #: +15.5% with s_slab_stats; fused mix k=32 +6.9%, k=64 +7.4% combined.
+    g_slab_inputs: bool = True
 
     #: Route state sizes past the fused kernel's VMEM ceiling through the
     #: blocked Schur-complement inverse (ops/block_spd.py): batched MXU
@@ -98,6 +104,10 @@ if os.environ.get("PPCA_RS_TPU_S_SLAB_STATS"):
     config.s_slab_stats = True
 if os.environ.get("PPCA_RS_TPU_G_SLAB_INPUTS"):
     config.g_slab_inputs = True
+if os.environ.get("PPCA_RS_TPU_NO_S_SLAB_STATS"):
+    config.s_slab_stats = False
+if os.environ.get("PPCA_RS_TPU_NO_G_SLAB_INPUTS"):
+    config.g_slab_inputs = False
 if os.environ.get("PPCA_RS_TPU_MIX_EXACT_RNORM"):
     config.mix_exact_rnorm = True
 if os.environ.get("PPCA_RS_TPU_MATMUL_PRECISION"):

@@ -342,6 +342,14 @@ class Dataset:
             return None
         if self.all_observed():
             if include_dense:
+                if len(self.mask.sharding.device_set) > 1:
+                    # Column (model-axis) sharding keeps the general path,
+                    # exactly like the non-dense branch below — the *_pat
+                    # verbs have no model-axis collectives.  NOT cached
+                    # (the sharding, not the mask, is what demoted us).
+                    shard_shape = self.mask.sharding.shard_shape(self.mask.shape)
+                    if shard_shape[1] != self.mask.shape[1]:
+                        return None
                 pidx = jnp.zeros((n,), jnp.int32)
                 pats = jnp.ones((1, int(self.data.shape[1])), bool)
                 if len(self.mask.sharding.device_set) > 1:

@@ -350,8 +350,10 @@ class PPCAMix:
 
         Data-axis-sharded datasets are allowed (pattern_info shards pidx
         with the rows; the inference AND EM verbs have *_pat shard_map
-        twins in parallel/api.py); model-axis sharding and multi-process
-        arrays are demoted inside pattern_info itself."""
+        twins in parallel/api.py).  Model-axis meshes are demoted HERE
+        (the *_pat verbs carry no model-axis collectives and are not even
+        registered for such meshes); pattern_info additionally demotes
+        column-sharded and multi-process arrays itself."""
         from ..parallel.mesh import MODEL_AXIS, dataset_mesh
 
         mesh = dataset_mesh(dataset)

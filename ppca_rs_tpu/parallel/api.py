@@ -437,6 +437,19 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
             rows,
         )(Cs, means, sigmas, log_weights, data, mask, pidx, pats)
 
+    def _combine_mix_stats(stats):
+        """Combine MixEMStats across the data axis: psum for every additive
+        field, pmax for the per-component weight-normalization term."""
+        from ..ops import mix_fused as mfd
+
+        return mfd.MixEMStats(
+            *(
+                lax.pmax(x, DATA_AXIS) if name == "resp_max"
+                else lax.psum(x, DATA_AXIS)
+                for name, x in zip(stats._fields, stats)
+            )
+        )
+
     def _mix_em_body(Cs, means, sigmas, log_weights, data, mask, weights,
                      tprec, noise_prior, mean_prior, block_size):
         """One sharded fused mixture EM step (inside shard_map): stats psum
@@ -448,13 +461,7 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
             Cs, means, sigmas, log_weights, data, mask, weights,
             block_size=block_size, axis_model=axis_model,
         )
-        stats = mfd.MixEMStats(
-            *(
-                lax.pmax(x, DATA_AXIS) if name == "resp_max"
-                else lax.psum(x, DATA_AXIS)
-                for name, x in zip(stats._fields, stats)
-            )
-        )
+        stats = _combine_mix_stats(stats)
         out = mfd.mix_em_finalize(
             Cs, means, sigmas, stats,
             transformation_precision=tprec,
@@ -477,13 +484,7 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
                 Cs, means, sigmas, log_weights, data, mask, weights,
                 block_size=block_size, axis_model=axis_model,
             )
-            return mfd.MixEMStats(
-                *(
-                    lax.pmax(x, DATA_AXIS) if name == "resp_max"
-                    else lax.psum(x, DATA_AXIS)
-                    for name, x in zip(stats._fields, stats)
-                )
-            )
+            return _combine_mix_stats(stats)
         return smap(
             inner,
             (P(None, col, None), P(None, col), rep, rep, rows, rows, wspec),
@@ -542,13 +543,7 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
             Cs, means, sigmas, log_weights, data, mask, pidx, pats, weights,
             block_size=block_size,
         )
-        stats = mfd.MixEMStats(
-            *(
-                lax.pmax(x, DATA_AXIS) if name == "resp_max"
-                else lax.psum(x, DATA_AXIS)
-                for name, x in zip(stats._fields, stats)
-            )
-        )
+        stats = _combine_mix_stats(stats)
         out = mfd.mix_em_finalize(
             Cs, means, sigmas, stats,
             transformation_precision=tprec,
@@ -613,13 +608,7 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
                 Cs, means, sigmas, log_weights, data, mask, pidx, pats,
                 weights, block_size=block_size,
             )
-            return mfd.MixEMStats(
-                *(
-                    lax.pmax(x, DATA_AXIS) if name == "resp_max"
-                    else lax.psum(x, DATA_AXIS)
-                    for name, x in zip(stats._fields, stats)
-                )
-            )
+            return _combine_mix_stats(stats)
         return smap(
             inner,
             (P(None, col, None), P(None, col), rep, rep,
@@ -635,24 +624,29 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         "extrapolate": extrapolate,
         "em_step": em_step,
         "em_n": em_n,
-        "llks_pat": llks_pat,
-        "llk_pat": llk_pat,
-        "infer_pat": infer_pat,
-        "smooth_pat": smooth_pat,
-        "em_step_pat": em_step_pat,
-        "em_n_pat": em_n_pat,
         "mix_llks": mix_llks,
-        "mix_llks_pat": mix_llks_pat,
         "mix_infer": mix_infer,
         "mix_smooth": mix_smooth,
-        "mix_infer_pat": mix_infer_pat,
-        "mix_smooth_pat": mix_smooth_pat,
         "mix_em_step": mix_em_step,
         "mix_em_n": mix_em_n,
-        "mix_em_step_pat": mix_em_step_pat,
-        "mix_em_n_pat": mix_em_n_pat,
     }
     if not use_model_axis:
+        # Pattern-table verbs are data-parallel only: their bodies carry no
+        # model-axis collectives (pattern tables index full D rows), and the
+        # call sites demote to the general path on model-axis meshes
+        # (pattern_info returns None there). Omitting the keys makes any
+        # future misuse a KeyError instead of silently-wrong statistics.
+        fns["llks_pat"] = llks_pat
+        fns["llk_pat"] = llk_pat
+        fns["infer_pat"] = infer_pat
+        fns["smooth_pat"] = smooth_pat
+        fns["em_step_pat"] = em_step_pat
+        fns["em_n_pat"] = em_n_pat
+        fns["mix_llks_pat"] = mix_llks_pat
+        fns["mix_infer_pat"] = mix_infer_pat
+        fns["mix_smooth_pat"] = mix_smooth_pat
+        fns["mix_em_step_pat"] = mix_em_step_pat
+        fns["mix_em_n_pat"] = mix_em_n_pat
         # stats-only verbs (the streaming accumulator's sources) psum over
         # the data axis alone; on a model-axis mesh their D-indexed fields
         # would be device-local, so the keys simply don't exist there.

@@ -17,23 +17,30 @@ R() {
   arm=$((arm + 1))
   timeout 600 "$@" 2>&1 | tee "logs/arm$(printf %02d $arm).log" | tail -2
 }
+# NOTE: config.py now DEFAULTS both slab flags ON (round-4 decision,
+# logs/round4_tpu_batch.log), so every arm pins BOTH flags explicitly —
+# a bare `python ...` is no longer a slab-OFF baseline.
+OFF_S=PPCA_RS_TPU_NO_S_SLAB_STATS=1
+OFF_G=PPCA_RS_TPU_NO_G_SLAB_INPUTS=1
+ON_S=PPCA_RS_TPU_S_SLAB_STATS=1
+ON_G=PPCA_RS_TPU_G_SLAB_INPUTS=1
 # masked slab A/B
-R python tools/em_microbench.py --path masked --reps 2
-R env PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path masked --reps 2
-R env PPCA_RS_TPU_G_SLAB_INPUTS=1 python tools/em_microbench.py --path masked --reps 2
-R env PPCA_RS_TPU_G_SLAB_INPUTS=1 PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path masked --reps 2
+R env $OFF_S $OFF_G python tools/em_microbench.py --path masked --reps 2
+R env $ON_S $OFF_G python tools/em_microbench.py --path masked --reps 2
+R env $OFF_S $ON_G python tools/em_microbench.py --path masked --reps 2
+R env $ON_S $ON_G python tools/em_microbench.py --path masked --reps 2
 # fused mixture slab A/B (D=512/k=32/M=8)
-R python tools/em_microbench.py --path mix --reps 2
-R env PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path mix --reps 2
-R env PPCA_RS_TPU_G_SLAB_INPUTS=1 python tools/em_microbench.py --path mix --reps 2
-R env PPCA_RS_TPU_G_SLAB_INPUTS=1 PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path mix --reps 2
+R env $OFF_S $OFF_G python tools/em_microbench.py --path mix --reps 2
+R env $ON_S $OFF_G python tools/em_microbench.py --path mix --reps 2
+R env $OFF_S $ON_G python tools/em_microbench.py --path mix --reps 2
+R env $ON_S $ON_G python tools/em_microbench.py --path mix --reps 2
 # pattern paths (s_slab only)
-R python tools/em_microbench.py --path pat --reps 2
-R env PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path pat --reps 2
-R python tools/em_microbench.py --path patmix --reps 2
-R env PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path patmix --reps 2
-# bf16 storage marginal
+R env $OFF_S $OFF_G python tools/em_microbench.py --path pat --reps 2
+R env $ON_S $OFF_G python tools/em_microbench.py --path pat --reps 2
+R env $OFF_S $OFF_G python tools/em_microbench.py --path patmix --reps 2
+R env $ON_S $OFF_G python tools/em_microbench.py --path patmix --reps 2
+# bf16 storage marginal (current defaults)
 R python tools/em_microbench.py --path masked --reps 2 --dtype bfloat16
 # mixture at k=64 (bigger wedge)
-R python tools/em_microbench.py --path mix --k 64 --reps 2
-R env PPCA_RS_TPU_G_SLAB_INPUTS=1 PPCA_RS_TPU_S_SLAB_STATS=1 python tools/em_microbench.py --path mix --k 64 --reps 2
+R env $OFF_S $OFF_G python tools/em_microbench.py --path mix --k 64 --reps 2
+R env $ON_S $ON_G python tools/em_microbench.py --path mix --k 64 --reps 2

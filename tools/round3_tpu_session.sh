@@ -5,6 +5,12 @@
 #   (b) bf16 value storage A/B (marginal + end-to-end),
 #   (c) the e2e-vs-marginal gap at the headline N=1M,
 # plus the verify-skill TPU example. Run from /root/repo with the tunnel up.
+#
+# HISTORICAL: this batch ran 2026-08-19 (logs/round4_tpu_batch.log) and the
+# slab defaults were flipped ON in config.py as a result. Bare `python ...`
+# arms below are therefore no longer slab-OFF baselines; for a meaningful
+# re-run use tools/round3_tpu_reduced.sh, whose arms pin both flags
+# explicitly via PPCA_RS_TPU_NO_* / PPCA_RS_TPU_* env vars.
 set -x
 cd /root/repo
 # hw check FIRST (MANDATORY before trusting slab flags: interpret mode
