@@ -228,7 +228,11 @@ def main():
     model = PPCATrainer(dds).train(state_size=8, n_iters=10, prior=prior,
                                    quiet=True, key=jax.random.PRNGKey(8))
     dt = time.perf_counter() - t0
-    assert np.allclose(model.transform[3], 0.0)
+    # The empty-dim row is EXACTLY zero through every EM iteration (ridge
+    # solve with zero RHS); train() ends in to_canonical, whose f32 SVD
+    # rotation smears it to ~1e-8 (measured 1.16e-8 on v5e round 4 — just
+    # over allclose's default atol).  1e-6 is the f32 assertion.
+    assert np.allclose(model.transform[3], 0.0, atol=1e-6)
     rows.append(("priors + empty dim + all-NaN rows (D=64, k=8, N=50k, 10 iters)",
                  f"{dt:.3f}s total", f"{len(dds) * 10 / dt:,.0f} samples/s"))
 

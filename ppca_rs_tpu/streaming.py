@@ -149,15 +149,26 @@ def _chunk_stats(model: PPCAModel, ds: Dataset) -> ml.EMStats:
     return fns["em_stats"](*args, ds.data, ds.mask, ds.weights_dev, block)
 
 
-def _accumulate(chunks, stats_fn, add_fn):
+def _accumulate(chunks, stats_fn, add_fn, prefetch: int = 1):
     """Resolve chunks one at a time, accumulating their statistics.
-    Lazily-loaded chunks block on the running total so their device buffers
-    are reclaimable before the next chunk materializes (the point of
-    streaming); pre-resident Dataset chunks keep full async overlap."""
+
+    Lazily-loaded chunks must not all enqueue at once (every in-flight
+    statistics program pins its chunk's device buffers — the memory blow-up
+    streaming exists to avoid), so the loop blocks on the running total —
+    but LAGGED by ``prefetch`` chunks: while the device works on chunk i,
+    the host resolves and enqueues chunks i+1..i+prefetch.  ``prefetch=0``
+    is the fully-synchronous round-4 behavior (one chunk resident at a
+    time); the default 1 keeps at most two chunks' buffers alive and
+    removes the per-chunk pipeline drain (measured 10M north star:
+    ~1.6 s/iter of sync cost at 10x1M chunks).  Pre-resident Dataset
+    chunks keep full async overlap regardless."""
     if not len(chunks):
         raise ValueError("need at least one chunk")
+    if prefetch < 0:
+        raise ValueError("prefetch must be >= 0")
     n_samples = 0
     total = None
+    pending: list = []  # running totals awaiting their lagged sync
     for chunk in chunks:
         ds = _resolve(chunk)
         n_samples += len(ds)
@@ -165,13 +176,15 @@ def _accumulate(chunks, stats_fn, add_fn):
         del ds
         total = stats if total is None else add_fn(total, stats)
         if callable(chunk):
-            jax.block_until_ready(total.llk)
+            pending.append(total)
+            if len(pending) > prefetch:
+                jax.block_until_ready(pending.pop(0).llk)
     return total, n_samples
 
 
 def _train_loop(model0, chunks, iterate_fn, prior, n_iters, metric, quiet,
                 callback, label, profile_dir=None, checkpoint_path=None,
-                checkpoint_every=10):
+                checkpoint_every=10, prefetch=1):
     """The shared trainer driver: n_iters streamed iterations with the
     reference's per-iteration metric printing/callback, plus the in-memory
     trainers' checkpoint/profile hooks (trainer.py:92-106) — the streaming
@@ -181,7 +194,8 @@ def _train_loop(model0, chunks, iterate_fn, prior, n_iters, metric, quiet,
     with trace(profile_dir):
         for idx in range(n_iters):
             n_out: list = []
-            new_model, llk = iterate_fn(model, chunks, prior, _n_out=n_out)
+            new_model, llk = iterate_fn(model, chunks, prior, _n_out=n_out,
+                                        prefetch=prefetch)
             n = n if n is not None else n_out[0]
             if not quiet or callback is not None:
                 metrics = TrainMetrics.compute(llk, model.n_parameters, n)
@@ -201,18 +215,21 @@ def iterate_streamed(
     chunks: Sequence[ChunkLike],
     prior: Optional[Prior] = None,
     _n_out: Optional[list] = None,
+    prefetch: int = 1,
 ):
     """One EM iteration over a stream of chunks.  Returns
     ``(new_model, llk)`` where llk is the total log-likelihood of ``model``
     over all chunks — identical to ``model._iterate_with_llk`` on the
-    concatenated dataset."""
+    concatenated dataset.  ``prefetch`` bounds how many lazy chunks may be
+    in flight beyond the one computing (see :func:`_accumulate`)."""
     dtype = model._transform.dtype
     prior = prior if prior is not None else Prior()
     tprec, noise_prior, mean_prior = prior.device_pieces(dtype)
 
     with _precision(model.output_size):
         total, n_samples = _accumulate(
-            chunks, lambda ds: _chunk_stats(model, ds), _stats_add
+            chunks, lambda ds: _chunk_stats(model, ds), _stats_add,
+            prefetch=prefetch,
         )
         new_C, new_mean, new_sigma = _finalize_jit(
             model._transform, model._mean, model._isotropic_noise,
@@ -246,14 +263,19 @@ class StreamingPPCATrainer:
         profile_dir: Optional[str] = None,
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 10,
+        prefetch: int = 1,
     ) -> PPCAModel:
+        """``prefetch``: lazy chunks allowed in flight beyond the one the
+        device is computing (default 1 — at most two chunks' buffers alive;
+        0 restores strictly one-resident-chunk memory)."""
         if start is not None:
             model = start  # warm start: no chunk I/O before the first pass
         else:
             model = PPCAModel.init(state_size, _resolve(self.chunks[0]), key=key)
         return _train_loop(model, self.chunks, iterate_streamed, prior,
                            n_iters, metric, quiet, callback, "Masked PPCA",
-                           profile_dir, checkpoint_path, checkpoint_every)
+                           profile_dir, checkpoint_path, checkpoint_every,
+                           prefetch)
 
 
 # ===================================================================== #
@@ -327,7 +349,8 @@ def _mix_stats_add(a, b):
 
 def iterate_mix_streamed(mix, chunks: Sequence[ChunkLike],
                          prior: Optional[Prior] = None,
-                         _n_out: Optional[list] = None):
+                         _n_out: Optional[list] = None,
+                         prefetch: int = 1):
     """One fused mixture EM iteration over a stream of chunks — identical to
     ``mix._iterate_with_llk`` on the concatenated dataset.  Chunks may be
     resident, lazy callables, or data-axis mesh-sharded, mixed freely."""
@@ -343,6 +366,7 @@ def iterate_mix_streamed(mix, chunks: Sequence[ChunkLike],
             chunks,
             lambda ds: _mix_chunk_stats(mix, Cs, means, sigmas, ds),
             _mix_stats_add,
+            prefetch=prefetch,
         )
         new_Cs, new_means, new_sigmas, new_logw = _mix_finalize_jit(
             Cs, means, sigmas, total, tprec, noise_prior, mean_prior,
@@ -394,7 +418,9 @@ class StreamingPPCAMixTrainer:
         profile_dir: Optional[str] = None,
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 10,
+        prefetch: int = 1,
     ):
+        """``prefetch``: see :meth:`StreamingPPCATrainer.train`."""
         from .models.mix import PPCAMix
 
         if start is not None:
@@ -404,4 +430,5 @@ class StreamingPPCAMixTrainer:
                                key=key)
         return _train_loop(mix, self.chunks, iterate_mix_streamed, prior,
                            n_iters, metric, quiet, callback, "Masked PPCA mix",
-                           profile_dir, checkpoint_path, checkpoint_every)
+                           profile_dir, checkpoint_path, checkpoint_every,
+                           prefetch)

@@ -71,6 +71,35 @@ def test_lazy_chunk_callables(rng):
     np.testing.assert_allclose(m1.transform, m2.transform, rtol=1e-8)
 
 
+def test_prefetch_levels_bitwise_identical(rng):
+    """prefetch only changes WHEN the host blocks, never what is computed:
+    every level must reproduce prefetch=0 (the strict one-chunk-resident
+    round-4 behavior) bit for bit, lazy and pre-resident chunks alike."""
+    data = make_data(rng, n=60)
+    full = Dataset(data, weights=rng.random(60) + 0.5)
+    parts = [full.slice(i * 12, (i + 1) * 12) for i in range(5)]
+    model = PPCAModel(
+        isotropic_noise=0.7, transform=rng.normal(size=(6, 3)), mean=np.zeros(6)
+    )
+
+    def run(prefetch, lazy):
+        chunks = [(lambda p=p: p) for p in parts] if lazy else parts
+        return iterate_streamed(model, chunks, prefetch=prefetch)
+
+    for lazy in (False, True):
+        m0, llk0 = run(0, lazy)
+        for prefetch in (1, 2, 7):
+            m, llk = run(prefetch, lazy)
+            assert llk == llk0
+            np.testing.assert_array_equal(m.transform, m0.transform)
+            np.testing.assert_array_equal(m.mean, m0.mean)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        run(-1, True)
+
+
 def test_sharded_chunks_match_single_shot(rng):
     """DATA-axis-sharded chunks stream through the shard_map statistics pass
     and produce the same iteration as single-shot on the concatenated data;

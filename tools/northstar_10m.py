@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="value-STORAGE dtype of the chunks (math >= f32)")
+    ap.add_argument("--prefetch", type=int, default=1,
+                    help="lazy chunks in flight beyond the one computing "
+                         "(streaming.py _accumulate; 0 = strict "
+                         "one-chunk-resident, the round-4 measured mode)")
     args = ap.parse_args()
 
     import functools
@@ -81,9 +85,15 @@ def main():
     start = PPCAModel.init(k, chunk(0), key=jax.random.PRNGKey(1))
     trainer = StreamingPPCATrainer(chunks)
 
-    # one warmup iteration pays every compile
+    # One warmup iteration pays every compile.  It MUST use a different
+    # start than the timed run: the tunnel caches results per (program,
+    # operands), and chunks regenerate bit-identically, so warming up with
+    # `start` itself would make the timed run's first iteration free
+    # (~1/iters optimistic).  See CLAUDE.md "Remote result caching gotcha".
+    warm_start = PPCAModel.init(k, chunk(0), key=jax.random.PRNGKey(2))
     t0 = time.perf_counter()
-    trainer.train(start=start, state_size=k, n_iters=1, quiet=True)
+    trainer.train(start=warm_start, state_size=k, n_iters=1, quiet=True,
+                  prefetch=args.prefetch)
     print(f"warmup iteration (incl. compiles): "
           f"{time.perf_counter() - t0:.1f}s", flush=True)
 
@@ -92,6 +102,7 @@ def main():
     model = trainer.train(
         start=start, state_size=k, n_iters=args.iters, quiet=True,
         callback=lambda i, m: llks.append(m.llk),
+        prefetch=args.prefetch,
     )
     elapsed = time.perf_counter() - t0
     sps = N * args.iters / elapsed
@@ -107,6 +118,7 @@ def main():
         "unit": f"samples/s/chip (N={N}, D={D}, k={k}, "
                 f"{int(miss * 100)}% missing, {args.dtype} storage, "
                 f"streamed {args.n_chunks}x{B}-row chunks, "
+                f"prefetch={args.prefetch}, "
                 f"{args.iters} EM iters)",
         "elapsed_s": round(elapsed, 1),
     }), flush=True)
