@@ -94,21 +94,28 @@ class Config:
 
 config = Config()
 
-if os.environ.get("PPCA_RS_TPU_NO_PALLAS"):
+def _env_flag(name: str) -> bool:
+    """True when the env var is set to anything but an explicit falsey value
+    ("", "0", "false", "no", "off" — case-insensitive). Guards the NO_*
+    opt-outs against the double-negative foot-gun NO_X=0 reading as opt-out."""
+    return os.environ.get(name, "").strip().lower() not in ("", "0", "false", "no", "off")
+
+
+if _env_flag("PPCA_RS_TPU_NO_PALLAS"):
     config.use_pallas = False
-if os.environ.get("PPCA_RS_TPU_NO_NATIVE"):
+if _env_flag("PPCA_RS_TPU_NO_NATIVE"):
     config.use_native = False
-if os.environ.get("PPCA_RS_TPU_NO_BLOCKED_LARGE_K"):
+if _env_flag("PPCA_RS_TPU_NO_BLOCKED_LARGE_K"):
     config.use_blocked_large_k = False
-if os.environ.get("PPCA_RS_TPU_S_SLAB_STATS"):
+if _env_flag("PPCA_RS_TPU_S_SLAB_STATS"):
     config.s_slab_stats = True
-if os.environ.get("PPCA_RS_TPU_G_SLAB_INPUTS"):
+if _env_flag("PPCA_RS_TPU_G_SLAB_INPUTS"):
     config.g_slab_inputs = True
-if os.environ.get("PPCA_RS_TPU_NO_S_SLAB_STATS"):
+if _env_flag("PPCA_RS_TPU_NO_S_SLAB_STATS"):
     config.s_slab_stats = False
-if os.environ.get("PPCA_RS_TPU_NO_G_SLAB_INPUTS"):
+if _env_flag("PPCA_RS_TPU_NO_G_SLAB_INPUTS"):
     config.g_slab_inputs = False
-if os.environ.get("PPCA_RS_TPU_MIX_EXACT_RNORM"):
+if _env_flag("PPCA_RS_TPU_MIX_EXACT_RNORM"):
     config.mix_exact_rnorm = True
 if os.environ.get("PPCA_RS_TPU_MATMUL_PRECISION"):
     config.matmul_precision = os.environ["PPCA_RS_TPU_MATMUL_PRECISION"]

@@ -13,7 +13,9 @@ mkdir -p logs
 R() { name=$1; shift; timeout "$@" 2>&1 | tee "logs/r4f_$name.log" | tail -3; }
 
 R hwcheck 900 python tools/slab_hw_check.py
-R bench_f32 1800 python bench.py
+# bench.py now DEFAULTS to --dtype bfloat16 (f8136ec): the f32 arm must say so
+# explicitly or it silently re-measures bf16.
+R bench_f32 1800 python bench.py --dtype float32
 R bench_bf16 1800 python bench.py --dtype bfloat16
 R northstar 3000 python tools/northstar_10m.py
 R northstar_bf16 3000 python tools/northstar_10m.py --dtype bfloat16
