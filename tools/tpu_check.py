@@ -70,6 +70,12 @@ for k in (64, 160):
        C, mean, sig, data, mask)
     # em_stats' S statistic is only defined on the tril wedge under the
     # fullt kernel; compare the symmetrized finalize outputs instead.
+    # Tolerance: the M-step's per-row solves amplify f32 rounding at this
+    # problem size — triaged on v5e (tools/emstep_triage.py): kernel path
+    # 3.7e-3 and XLA fallback 4.9e-3 from the f64 oracle (the kernel is the
+    # MORE accurate side), so the f32-vs-f32 A/B lands ~5.6e-3.  The bug
+    # class this check exists for (stale VMEM read on real hardware) shows
+    # up as >>1e-1 or non-finite, so 2e-2 keeps full detection power.
     ab(f"em step k={k}",
        lambda *a: jax.jit(
            lambda *b: ml.em_finalize(
@@ -78,7 +84,7 @@ for k in (64, 160):
                transformation_precision=jnp.float32(0.0),
            )
        )(*a),
-       C, mean, sig, data, mask, w)
+       C, mean, sig, data, mask, w, tol=2e-2)
 
 # The sampler backend: batched Cholesky, batch on lanes.
 k = 64
@@ -99,8 +105,13 @@ Cs = jnp.asarray(rng.normal(size=(M, D, k)), jnp.float32) * 0.5
 means = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
 sigs = jnp.asarray(0.5 + rng.random(M), jnp.float32)
 lw = jnp.log(jnp.full((M,), 1.0 / M, jnp.float32))
+# Tolerance: responsibilities exponentiate the per-component llks, so a
+# ~1e-5 RELATIVE llk error (see "llks" above) at |llk| ~ O(D) becomes a
+# ~3e-3 ABSOLUTE log-posterior difference between any two f32 paths —
+# measured 3.6e-3 kernel-vs-XLA on v5e.  Stale-VMEM bugs show as >>1e-1
+# or non-finite, so 2e-2 keeps detection power.
 ab("mix_infer M=4 k=64",
    lambda *a: jax.jit(lambda *b: mf.mix_infer(*b, block_size=256))(*a),
-   Cs, means, sigs, lw, data, mask, tol=1e-3)
+   Cs, means, sigs, lw, data, mask, tol=2e-2)
 
 print("TPU KERNEL PARITY OK", flush=True)
