@@ -83,6 +83,24 @@ class Config:
     #: factorizations collapse to a P-sized table (ops/pattern_dedup.py).
     use_pattern_dedup: bool = True
 
+    #: Pattern-path E-step restructure (ops/pattern_dedup.py): (a) compute
+    #: the posterior states via ONE (B, k) x (k, P*k) MXU matmul against the
+    #: whole Sigma table + a per-row gather instead of gathering a (B, k^2)
+    #: per-sample Sigma (the gather materializes 16 KB/sample of HBM
+    #: traffic each way at k=64 — the dominant cost of the path); engages
+    #: when P * k is small enough that the (B, P, k) candidate temporary
+    #: beats the gather.  (b) accumulate the mean-update correction
+    #: pattern-grouped: mask^T (s w) == patterns^T (onehot^T (s w)), an
+    #: exact sum reordering that removes a (D, B) x (B, k) matmul and a
+    #: full mask re-read per block.  Both are algebraically exact.
+    #: Default ON from the round-4h v5e A/B (logs/r4h_arm*.log): single-
+    #: model pattern EM marginal 33.96 -> 17.20 ms/iter (P=32, D=1024,
+    #: k=64, 262k rows; 7.72 -> 15.24M samples/s, +97%), pattern-mixture
+    #: 241.5 -> 137.7 ms/iter (M=8, same shapes; +75%); neutral at P=128
+    #: where the candidates matmul hands back to the gather.  Opt out with
+    #: PPCA_RS_TPU_NO_PAT_GROUPED.
+    pat_grouped_estep: bool = True
+
     #: Upper bound on P for the dedup path (table memory is P * k^2 and the
     #: final assembly is a (D, P) contraction).
     pattern_max: int = 4096
@@ -115,6 +133,8 @@ if _env_flag("PPCA_RS_TPU_NO_S_SLAB_STATS"):
     config.s_slab_stats = False
 if _env_flag("PPCA_RS_TPU_NO_G_SLAB_INPUTS"):
     config.g_slab_inputs = False
+if _env_flag("PPCA_RS_TPU_NO_PAT_GROUPED"):
+    config.pat_grouped_estep = False
 if _env_flag("PPCA_RS_TPU_MIX_EXACT_RNORM"):
     config.mix_exact_rnorm = True
 if os.environ.get("PPCA_RS_TPU_MATMUL_PRECISION"):

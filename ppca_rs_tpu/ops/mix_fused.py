@@ -210,20 +210,32 @@ def _center_prep(Cs, means):
 
 
 def _block_post_pat(Cs, means, sigmas, tables, datab, mask_f, pidx,
-                    center=None):
+                    center=None, need_sig=False):
     """Table-driven per-component posteriors for one block: no per-sample
-    factorization at all — gather Sigma_{m, p(b)} and one batched mat-vec.
-    Returns (R, llks, s, Sig_b, sq_b, b, rnorm) with Sig_b the gathered
-    (M, B, k^2) and b/rnorm the (M, B, k)/(M, B) projection pieces (so EM
-    consumers need not recompute them for the residual identities).
+    factorization at all.  Returns (R, llks, s, Sig_b, sq_b, b, rnorm) with
+    b/rnorm the (M, B, k)/(M, B) projection pieces (so EM consumers need
+    not recompute them for the residual identities).
+
+    ``Sig_b`` (the gathered per-sample (M, B, k^2) covariances) is only
+    materialized with ``need_sig=True`` (the infer readout, which returns
+    them) — it costs 2 * 4 * M * k^2 bytes/sample of HBM traffic, the
+    dominant term of the pattern-mixture e-step.  Everyone else gets
+    ``None``: the states come from per-component candidate matmuls against
+    the whole table + a row gather when ``config.pat_grouped_estep`` and
+    P * k is small (see pattern_dedup._SALL_MAX_PK), or from the einsum on
+    the gathered covariances otherwise.
 
     With ``center`` (from :func:`_center_prep`; the readout verbs) the
     (M, B, D) centered-data temporary is avoided: projections become shared
     matmuls against mask*data and mask, |r|^2 uses the mean0-centered
     expansion at full product precision, and R is returned as None."""
+    from ..config import config
+    from .pattern_dedup import _SALL_MAX_PK
+
     Sigma, pat_llk, sq_tab = tables
     M, D_loc, k = Cs.shape
     B = datab.shape[0]
+    P = Sigma.shape[1]
     if center is None:
         R = mask_f[None, :, :] * (datab[None, :, :] - means[:, None, :])  # (M,B,D)
         b = jnp.einsum("mbd,mdk->mbk", R, Cs)                             # (M,B,k)
@@ -239,9 +251,32 @@ def _block_post_pat(Cs, means, sigmas, tables, datab, mask_f, pidx,
         mdm = jnp.matmul(md0, dm.T, precision=hp)                         # (B,M)
         m2 = jnp.matmul(mask_f, (dm * dm).T, precision=hp)                # (B,M)
         rnorm = (rd2[:, None] - 2.0 * mdm + m2).T                         # (M,B)
-    Sig_b = jnp.take(Sigma, pidx, axis=1)                                 # (M,B,k^2)
     sigma2 = (sigmas * sigmas)[:, None]
-    s = jnp.einsum("mbij,mbj->mbi", Sig_b.reshape(M, B, k, k), b) / sigma2[..., None]
+    if need_sig or not (config.pat_grouped_estep and 0 < P * k <= _SALL_MAX_PK):
+        Sig_b = jnp.take(Sigma, pidx, axis=1)                             # (M,B,k^2)
+        s = jnp.einsum(
+            "mbij,mbj->mbi", Sig_b.reshape(M, B, k, k), b
+        ) / sigma2[..., None]
+    else:
+        # s_{m,n} = Sigma_{m,p(n)} b_{m,n} / sigma_m^2 via candidates for
+        # ALL patterns (Sigma is symmetric, so the (M, k, P*k) right
+        # operand is the table re-laid-out), row-chunked so the
+        # (M, B', P, k) candidate temporary stays ~128 MB.
+        Sig_b = None
+        W = Sigma.reshape(M, P, k, k).transpose(0, 2, 1, 3).reshape(M, k, P * k)
+        idx = pidx.astype(jnp.int32)[None, :, None, None]
+        ic = max(256, (1 << 27) // max(1, M * P * k * 4))
+        pieces = []
+        for i0 in range(0, B, ic):
+            i1 = min(i0 + ic, B)
+            cand = jnp.einsum("mbk,mkq->mbq", b[:, i0:i1], W).reshape(
+                M, i1 - i0, P, k
+            )
+            pieces.append(
+                jnp.take_along_axis(cand, idx[:, i0:i1], axis=2)[:, :, 0, :]
+            )
+        s = (pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1))
+        s = s / sigma2[..., None]
     quad = (rnorm - jnp.sum(b * s, axis=-1)) / sigma2
     llks = jnp.take(pat_llk, pidx, axis=1) - 0.5 * quad                   # (M,B)
     return R, llks, s, Sig_b, jnp.take(sq_tab, pidx, axis=1), b, rnorm
@@ -625,7 +660,7 @@ def mix_infer(Cs, means, sigmas, log_weights, data, mask, *, block_size: int,
         def body_pat(_, fresh, datab, maskb, pb):
             _, llks, s, Sig_b, _, _, _ = _block_post_pat(
                 Cs, means, sigmas, tables, datab.astype(dtype),
-                maskb.astype(dtype), pb, center=center,
+                maskb.astype(dtype), pb, center=center, need_sig=True,
             )
             # block dim leading so _scan_blocks' flatten applies directly
             return None, (llks.T, jnp.moveaxis(s, 1, 0),
@@ -808,6 +843,7 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
     slab = config.s_slab_stats and k > 0
     souter_ranges = ml._sm_slabs(k) if slab else [(0, k, k)]
     q_pack = ml._s_packed_width(k) if slab else k * k
+    grouped = config.pat_grouped_estep
     center = _center_prep(Cs, means)
     mean0, dm, _ = center
     # mix_exact_rnorm: center=None makes _block_post_pat materialize the
@@ -836,13 +872,25 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
         resp = post * w[None, :]
 
         # cross = sum_b R_m (s resp): R_m = md0 - mask*dm_m never exists —
-        # two shared flattened matmuls + a dm-scaled correction.
+        # one shared flattened matmul against the data + a dm-scaled mask
+        # correction.  Under config.pat_grouped_estep the mask correction
+        # is pattern-grouped: srw @ mask == (srw @ onehot) @ patterns (the
+        # mask IS the pattern row), so the per-block (k*M, B) x (B, D)
+        # matmul and its mask re-read become a tiny (k*M, P) accumulation
+        # applied once at assembly — an exact sum reordering.
         srw = (s * resp[..., None]).transpose(2, 0, 1).reshape(k * M, B)
         c1 = lax.dot_general(srw, md0, (((1,), (0,)), ((), ())))
-        c2 = lax.dot_general(srw, mask_f, (((1,), (0,)), ((), ())))
-        c2t = jnp.transpose(c2.reshape(k, M, D_loc), (1, 2, 0))     # (M,D,k)
-        cross = jnp.transpose(c1.reshape(k, M, D_loc), (1, 2, 0)) - dm[:, :, None] * c2t
         onehot = (pb[:, None] == jnp.arange(P, dtype=pb.dtype)[None, :]).astype(dtype)
+        if grouped:
+            psrw = lax.dot_general(srw, onehot, (((1,), (0,)), ((), ())))  # (kM,P)
+            cross = jnp.transpose(c1.reshape(k, M, D_loc), (1, 2, 0))
+            c2t = None
+        else:
+            psrw = jnp.zeros((k * M, P), dtype)
+            c2 = lax.dot_general(srw, mask_f, (((1,), (0,)), ((), ())))
+            c2t = jnp.transpose(c2.reshape(k, M, D_loc), (1, 2, 0))  # (M,D,k)
+            cross = (jnp.transpose(c1.reshape(k, M, D_loc), (1, 2, 0))
+                     - dm[:, :, None] * c2t)
         wsum = jnp.einsum("mb,bp->mp", resp, onehot)        # (M,P)
         # Souter needs the order-3 contraction onehot x s_i x s_j, which has
         # no two-matmul factoring; instead of materializing the full
@@ -886,14 +934,19 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
         # clamp: epsilon-negative in f32 iff |dev|^2 ~ 0 (see dense_fast)
         dev_sq = jnp.sum(resp * jnp.maximum(rnorm - bs - sigma2 * s2, 0.0),
                          axis=-1)
-        rm = lax.dot_general(resp, mask_f, (((1,), (0,)), ((), ())))
         t1 = lax.dot_general(resp, md0, (((1,), (0,)), ((), ())))
-        total_dev = t1 - dm * rm - jnp.sum(Cs * c2t, axis=-1)
+        if grouped:
+            # resp @ mask == wsum @ patterns and the Cs*c2t term are both
+            # linear in the accumulated pieces — applied at assembly.
+            total_dev = t1
+        else:
+            rm = lax.dot_general(resp, mask_f, (((1,), (0,)), ((), ())))
+            total_dev = t1 - dm * rm - jnp.sum(Cs * c2t, axis=-1)
         square_error = jnp.sum(resp * sq_b, axis=-1)
         resp_sum = jnp.sum(resp, axis=-1)
         resp_max = jnp.max(resp, axis=-1)
 
-        big = (acc[0] + cross, acc[1] + Souter, acc[2] + wsum)
+        big = (acc[0] + cross, acc[1] + Souter, acc[2] + wsum, acc[3] + psrw)
         small = (square_error, dev_sq, total_dev, resp_sum, resp_max, llk_mix)
         return big, small
 
@@ -902,8 +955,9 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
         jnp.zeros((M, D_loc, k), dtype),
         jnp.zeros(souter_shape, dtype),
         jnp.zeros((M, P), dtype),
+        jnp.zeros((k * M, P), dtype),
     )
-    (cross, Souter, wsum), small, _ = _scan_blocks(
+    (cross, Souter, wsum, psrw), small, _ = _scan_blocks(
         n, block_size, (data, mask, pidx, weights), body, zero
     )
     square_error, dev_sq, total_dev, resp_sum, llk = (
@@ -911,6 +965,16 @@ def mix_em_stats_pat(Cs, means, sigmas, log_weights, data, mask, pidx, patterns,
         for x in (small[0], small[1], small[2], small[3], small[5])
     )
     resp_max = jnp.max(small[4], axis=0)
+    if grouped:
+        # apply the pattern-grouped mask corrections once: c2 = psrw @
+        # patterns and rm = wsum @ patterns (exact reorderings of the
+        # per-block sums).
+        c2t = jnp.transpose(
+            (psrw @ patterns_f).reshape(k, M, D_loc), (1, 2, 0)
+        )                                                    # (M,D,k)
+        cross = cross - dm[:, :, None] * c2t
+        rm = wsum @ patterns_f                               # (M,D)
+        total_dev = total_dev - dm * rm - jnp.sum(Cs * c2t, axis=-1)
 
     Sigma = tables[0]                                        # (M,P,k^2)
     if slab:

@@ -100,15 +100,36 @@ def compute_tables(C: jax.Array, sigma: jax.Array, patterns_f: jax.Array) -> Pat
     return PatternTables(Sigma, pat_llk, sq)
 
 
+# The per-sample (B, k*k) Sigma gather costs ~2 * 4 * k^2 bytes/sample of
+# HBM traffic (write + re-read; 32 KB/sample at k=64 f32 — measured as the
+# dominant cost of the pattern e-step).  Below this P * k bound the
+# all-patterns candidate matmul (one (B, k) x (k, P*k) MXU contraction +
+# a (B, 1, k) row gather; temp traffic 4 * P * k bytes/sample) is cheaper.
+_SALL_MAX_PK = 4096
+
+
 def _block_states_llk(C, mean, sigma, tables: PatternTables, datab, mask_f, pidx):
-    """Per-sample states + llks for one block: one MXU matmul + a gathered
-    batched mat-vec.  Returns (R, b, s, llk)."""
+    """Per-sample states + llks for one block.  Returns (R, b, s, llk)."""
+    from ..config import config
+
     k = C.shape[1]
     B = datab.shape[0]
+    P = tables.Sigma.shape[0]
     R = mask_f * (datab - mean)
     b = R @ C                                             # (B, k)
-    Sig = jnp.take(tables.Sigma, pidx, axis=0)            # (B, k*k)
-    s = jnp.einsum("bij,bj->bi", Sig.reshape(B, k, k), b) / (sigma * sigma)
+    if config.pat_grouped_estep and 0 < P * k <= _SALL_MAX_PK:
+        # s_n = Sigma_{p(n)} b_n / sigma^2 via the candidates for ALL
+        # patterns in one MXU matmul (Sigma_p is symmetric, so the
+        # (k, P*k) right operand is just the table re-laid-out), then a
+        # contiguous per-row gather of the winning k-vector.
+        W = tables.Sigma.reshape(P, k, k).transpose(1, 0, 2).reshape(k, P * k)
+        sall = (b @ W).reshape(B, P, k)
+        s = jnp.take_along_axis(
+            sall, pidx.astype(jnp.int32)[:, None, None], axis=1
+        )[:, 0, :] / (sigma * sigma)
+    else:
+        Sig = jnp.take(tables.Sigma, pidx, axis=0)        # (B, k*k)
+        s = jnp.einsum("bij,bj->bi", Sig.reshape(B, k, k), b) / (sigma * sigma)
     rnorm = jnp.sum(R * R, axis=-1)
     quad = (rnorm - jnp.sum(b * s, axis=-1)) / (sigma * sigma)
     llk = jnp.take(tables.pat_llk, pidx, axis=0) - 0.5 * quad
@@ -194,6 +215,7 @@ def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
     # the outer VPU work, HBM temp, and Souter matmul flops at k=64.  The
     # scan carries Souter PACKED; S is unpacked once after assembly.
     slab = config.s_slab_stats and k > 0
+    grouped = config.pat_grouped_estep
     outer_ranges = ml._sm_slabs(k) if slab else [(0, k, k)]
     q_pack = ml._s_packed_width(k) if slab else k * k
 
@@ -238,12 +260,21 @@ def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
         # clamp: epsilon-negative in f32 iff |dev|^2 ~ 0 (see dense_fast)
         dev_sq = jnp.sum(w * jnp.maximum(
             rnorm - bs - (sigma * sigma) * jnp.sum(s * s, axis=-1), 0.0))
-        msw = lax.dot_general(mask_f, sw, (((0,), (0,)), ((), ())))           # (D, k)
-        total_dev = w @ R - jnp.sum(C * msw, axis=-1)
+        if grouped:
+            # mask^T sw == patterns^T (onehot^T sw): accumulate the tiny
+            # (P, k) grouped projection and apply the (D, P) contraction
+            # once at assembly — exact sum reordering, and it removes the
+            # per-block (D, B) x (B, k) matmul plus a full mask re-read.
+            psw = lax.dot_general(onehot, sw, (((0,), (0,)), ((), ())))       # (P, k)
+            wR = w @ R                                                        # (D,)
+        else:
+            msw = lax.dot_general(mask_f, sw, (((0,), (0,)), ((), ())))      # (D, k)
+            psw = jnp.zeros((P, k), dtype)
+            wR = w @ R - jnp.sum(C * msw, axis=-1)
         llk = jnp.sum(w * llk_b)
         return (
-            (acc[0] + cross, acc[1] + Souter, acc[2] + wsum),
-            (dev_sq, total_dev, llk),
+            (acc[0] + cross, acc[1] + Souter, acc[2] + wsum, acc[3] + psw),
+            (dev_sq, wR, llk),
         )
 
     souter_shape = (P, q_pack) if group_outer else (D, q_pack)
@@ -251,11 +282,15 @@ def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
         jnp.zeros((D, k), dtype),
         jnp.zeros(souter_shape, dtype),
         jnp.zeros((P,), dtype),
+        jnp.zeros((P, k), dtype),
     )
-    (cross, Souter, wsum), small, _ = _scan_blocks(
+    (cross, Souter, wsum, psw), small, _ = _scan_blocks(
         n, block_size, (data, mask, pidx, weights), body, zero
     )
     dev_sq, total_dev, llk = (jnp.sum(x, axis=0) for x in small)
+    if grouped:
+        msw = patterns_f.T @ psw                                              # (D, k)
+        total_dev = total_dev - jnp.sum(C * msw, axis=-1)
 
     # Assemble the pattern-grouped statistics with single (D, P) contractions.
     pat_T = patterns_f.T                                   # (D, P)

@@ -650,3 +650,55 @@ def test_mix_readout_gates_use_per_verb_want(rng, monkeypatch):
         for kk in (64, 264, 272, 320, 328, 456, 464, 512):
             assert ml._use_kernel(kk, 8192, jnp.float32, None, want) or \
                 ml._use_blocked(kk, 8192, jnp.float32, None, want), (want, kk)
+
+
+def test_mix_pattern_grouped_estep_matches(rng):
+    """config.pat_grouped_estep in the pattern-mixture path (per-component
+    candidate matmuls for the states + pattern-grouped c2/rm corrections
+    applied at assembly) is an exact reordering: every MixEMStats field and
+    the readout verbs match the ungrouped path to f64 roundoff, on both
+    sides of the sall candidates bound."""
+    import jax.numpy as jnp
+    from ppca_rs_tpu.config import config
+    from ppca_rs_tpu.ops import mix_fused as mf
+    from ppca_rs_tpu.ops import pattern_dedup as pd
+
+    M, B, D, k, P = 3, 96, 16, 5, 4
+    Cs = jnp.asarray(rng.normal(size=(M, D, k)))
+    means = jnp.asarray(rng.normal(size=(M, D)))
+    sigmas = jnp.asarray(0.5 + rng.random(M))
+    lw = jnp.log(jnp.full((M,), 1.0 / M))
+    patterns = jnp.asarray(rng.random((P, D)) > 0.3)
+    pidx = jnp.asarray(rng.integers(0, P, size=B), jnp.int32)
+    data = jnp.asarray(rng.normal(size=(B, D))) * patterns[pidx]
+    w = jnp.asarray(rng.random(B) + 0.25)
+    mask = patterns[pidx]
+
+    em_args = (Cs, means, sigmas, lw, data, mask, pidx, patterns, w)
+
+    def readouts():
+        st = mf.mix_em_stats_pat(*em_args, block_size=32)
+        lk = mf.mix_llks(Cs, means, sigmas, data, mask, block_size=32,
+                         pidx=pidx, patterns=patterns)
+        sm = mf.mix_smooth(Cs, means, sigmas, lw, data, mask, block_size=32,
+                           pidx=pidx, patterns=patterns)
+        inf = mf.mix_infer(Cs, means, sigmas, lw, data, mask, block_size=32,
+                           pidx=pidx, patterns=patterns)
+        return (st, lk, sm, inf)
+
+    old = config.pat_grouped_estep
+    old_bound = pd._SALL_MAX_PK
+    try:
+        config.pat_grouped_estep = False
+        ref = readouts()
+        config.pat_grouped_estep = True
+        for bound in (old_bound, 1):   # candidates matmul / gather fallback
+            pd._SALL_MAX_PK = bound
+            got = readouts()
+            import jax
+            for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-9, atol=1e-11)
+    finally:
+        config.pat_grouped_estep = old
+        pd._SALL_MAX_PK = old_bound

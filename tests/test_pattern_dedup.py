@@ -270,3 +270,46 @@ def test_em_stats_s_slab_matches(rng, group_outer):
             getattr(got, name), getattr(ref, name), rtol=1e-9, atol=1e-11,
             err_msg=f"EMStats field {name}",
         )
+
+
+def test_em_stats_grouped_estep_matches(rng):
+    """config.pat_grouped_estep (candidate-matmul states + pattern-grouped
+    mask corrections) is an exact reordering of the ungrouped sums: every
+    EMStats field and the states/llks verbs match to f64 roundoff, at a
+    P * k both below and above the sall candidates bound."""
+    ds = make_patterned_dataset(rng, n=128, d=24, n_patterns=6)
+    k = 11
+    model = make_model(rng, d=ds.output_size(), k=k)
+    C, mean, sigma = model._transform, model._mean, model._isotropic_noise
+    pidx, pats = ds.pattern_info()
+    bs = 32
+
+    old_bound = pd._SALL_MAX_PK
+    old = config.pat_grouped_estep
+    try:
+        config.pat_grouped_estep = False
+        ref = pd.em_stats(C, mean, sigma, ds.data, ds.mask,
+                          pidx, pats, ds.weights_dev, block_size=bs)
+        ref_s = pd.states(C, mean, sigma, ds.data, ds.mask,
+                          pidx, pats, block_size=bs)
+        ref_l = pd.llks(C, mean, sigma, ds.data, ds.mask,
+                        pidx, pats, block_size=bs)
+        config.pat_grouped_estep = True
+        for bound in (old_bound, 1):   # matmul-sall path / gather fallback
+            pd._SALL_MAX_PK = bound
+            got = pd.em_stats(C, mean, sigma, ds.data, ds.mask,
+                              pidx, pats, ds.weights_dev, block_size=bs)
+            got_s = pd.states(C, mean, sigma, ds.data, ds.mask,
+                              pidx, pats, block_size=bs)
+            got_l = pd.llks(C, mean, sigma, ds.data, ds.mask,
+                            pidx, pats, block_size=bs)
+            for name in ref._fields:
+                np.testing.assert_allclose(
+                    getattr(got, name), getattr(ref, name),
+                    rtol=1e-9, atol=1e-11, err_msg=f"EMStats field {name}",
+                )
+            np.testing.assert_allclose(got_s, ref_s, rtol=1e-9, atol=1e-11)
+            np.testing.assert_allclose(got_l, ref_l, rtol=1e-9, atol=1e-11)
+    finally:
+        config.pat_grouped_estep = old
+        pd._SALL_MAX_PK = old_bound
