@@ -101,6 +101,31 @@ class Config:
     #: PPCA_RS_TPU_NO_PAT_GROUPED.
     pat_grouped_estep: bool = True
 
+    #: Sorted-segment pattern EM (ops/pattern_dedup.em_stats_sorted): rows
+    #: are grouped by mask pattern ONCE per dataset (host argsort of the
+    #: detected pattern index; the sorted data copy is cached on the
+    #: Dataset), so each segment's mask is a CONSTANT row and the e-step
+    #: runs per-segment matmuls: states cost 2k^2 flops/sample instead of
+    #: the candidates matmul's 2Pk^2, and the per-pattern outer-product
+    #: statistic is a plain segment Gram (2k^2) instead of the one-hot
+    #: contraction (2*q*128 effective).  Both pattern paths measured
+    #: MXU-flop-bound (see the seg_gram dead end in docs/DESIGN.md), so
+    #: this targets exactly the binding constraint.  Costs: one sorted
+    #: data copy in HBM (gated by pat_sorted_max_bytes) and a retrace per
+    #: dataset (segment offsets are compile-time constants).
+    #: MEASUREMENT-GATED: default False until the v5e A/B lands; opt in
+    #: with PPCA_RS_TPU_PAT_SORTED.
+    pat_sorted_estep: bool = False
+
+    #: Do not build the sorted-by-pattern data copy past this size (it
+    #: doubles the dataset's HBM footprint while training).
+    pat_sorted_max_bytes: int = 4 << 30
+
+    #: Upper bound on P for the sorted-segment path: each pattern adds an
+    #: unrolled segment scan to the compiled EM step, so very fragmented
+    #: masks would bloat the program for shrinking per-segment wins.
+    pat_sorted_max_p: int = 256
+
     #: Upper bound on P for the dedup path (table memory is P * k^2 and the
     #: final assembly is a (D, P) contraction).
     pattern_max: int = 4096
@@ -135,6 +160,10 @@ if _env_flag("PPCA_RS_TPU_NO_G_SLAB_INPUTS"):
     config.g_slab_inputs = False
 if _env_flag("PPCA_RS_TPU_NO_PAT_GROUPED"):
     config.pat_grouped_estep = False
+if _env_flag("PPCA_RS_TPU_PAT_SORTED"):
+    config.pat_sorted_estep = True
+if _env_flag("PPCA_RS_TPU_NO_PAT_SORTED"):
+    config.pat_sorted_estep = False
 if _env_flag("PPCA_RS_TPU_MIX_EXACT_RNORM"):
     config.mix_exact_rnorm = True
 if os.environ.get("PPCA_RS_TPU_MATMUL_PRECISION"):

@@ -138,6 +138,10 @@ def _pattern_counts(pidx, mask, *, P):
 
 _pattern_counts_jit = jax.jit(_pattern_counts, static_argnames=("P",))
 
+# row gather for pattern_order's sorted copy (jitted so the (N, D) result
+# is a single device program, not an eager dispatch per use)
+_take_rows_jit = jax.jit(lambda a, idx: jnp.take(a, idx, axis=0))
+
 
 class _WeightsView(np.ndarray):
     """numpy view of the dataset weights that is ALSO callable, so both
@@ -157,11 +161,13 @@ class Dataset:
     the reference's ``ds.weights()`` work); the device-resident weight vector
     used by the compute paths is ``weights_dev``."""
 
-    __slots__ = ("data", "mask", "weights_dev", "_n_real", "_all_observed", "_patterns")
+    __slots__ = ("data", "mask", "weights_dev", "_n_real", "_all_observed",
+                 "_patterns", "_pattern_order")
 
     def __init__(self, ndarray=None, weights=None, *, _parts=None):
         self._all_observed = None
         self._patterns = None
+        self._pattern_order = None
         if _parts is not None:
             self.data, self.mask, self.weights_dev = _parts[:3]
             self._n_real = _parts[3] if len(_parts) > 3 else None
@@ -233,6 +239,8 @@ class Dataset:
         new = Dataset.from_parts(self.data, self.mask, w, n_real=self._n_real)
         new._all_observed = self._all_observed  # same mask, same observedness
         new._patterns = self._patterns          # same mask, same patterns
+        new._pattern_order = self._pattern_order  # same data; weights are
+        # re-sorted per call by the consumers (see pattern_order docstring)
         return new
 
     # ------------------------------------------------------------------ #
@@ -519,6 +527,58 @@ class Dataset:
                 patterns, NamedSharding(mesh, PartitionSpec(None, None))
             )
         self._patterns = (pidx, patterns)
+
+    def pattern_order(self):
+        """Sorted-by-pattern view for the segment EM fast path
+        (ops/pattern_dedup.em_stats_sorted), or ``None`` when it does not
+        apply.  Returns ``(data_sorted, perm, counts)``:
+
+        * ``data_sorted`` — the data rows stably reordered so each
+          pattern's rows are contiguous (a cached device copy; it DOUBLES
+          the dataset's data footprint in HBM while alive, which is why
+          ``config.pat_sorted_max_bytes`` gates it);
+        * ``perm`` — the (N,) int32 permutation (``data_sorted = data[perm]``;
+          consumers sort per-call quantities like weights with it, so
+          ``with_weights`` twins share this cache safely);
+        * ``counts`` — host tuple of per-pattern row counts (segment ``p``
+          is rows ``[sum(counts[:p]), +counts[p])``).  These are
+          compile-time constants: a dataset with a different pattern
+          layout retraces the EM program (~seconds; the segment slicing
+          is what buys the flop win).
+
+        Applies only to plain single-device datasets with detected
+        patterns (sharded/multi-process data keeps the table-grouped
+        path) and only while ``config.pat_sorted_estep`` is on."""
+        from .config import config
+
+        if not (config.use_pattern_dedup and config.pat_sorted_estep):
+            return None
+        if self._pattern_order is not None:
+            return self._pattern_order or None
+        info = self.pattern_info()
+        if info is None:
+            self._pattern_order = False
+            return None
+        if (jax.process_count() > 1
+                or len(self.mask.sharding.device_set) > 1
+                or len(self.data.sharding.device_set) > 1):
+            # sharded rows: segments would straddle shard boundaries
+            return None  # uncached — mirrors pattern_info's demotion rules
+        pidx, patterns = info
+        P = int(patterns.shape[0])
+        if P > config.pat_sorted_max_p:
+            self._pattern_order = False
+            return None
+        if self.data.nbytes > config.pat_sorted_max_bytes:
+            self._pattern_order = False
+            return None
+        pidx_h = np.asarray(pidx)
+        perm_h = np.argsort(pidx_h, kind="stable").astype(np.int32)
+        counts = tuple(int(c) for c in np.bincount(pidx_h, minlength=P))
+        perm = jnp.asarray(perm_h)
+        data_sorted = _take_rows_jit(self.data, perm)
+        self._pattern_order = (data_sorted, perm, counts)
+        return self._pattern_order
 
     def empty_dimensions(self) -> List[int]:
         """Dimensions masked in *every* sample (`dataset.rs:193-222`).

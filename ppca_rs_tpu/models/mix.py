@@ -136,6 +136,71 @@ def _mix_em_n_pat_adapter(pat, Cs, means, sigmas, log_weights, data, mask,
                              mean_prior, block_size, n_iters)
 
 
+@functools.partial(jax.jit, static_argnames=("block_size", "counts"))
+def _mix_em_pat_sorted_jit(Cs, means, sigmas, log_weights, data_s, perm, pats,
+                           weights, tprec, noise_prior, mean_prior,
+                           block_size, counts):
+    # weights sorted per call (cheap (N,) gather): with_weights twins and
+    # the oracle loop's responsibility-weighted datasets reuse the cached
+    # sorted data copy (Dataset.pattern_order).
+    w_s = jnp.take(weights, perm, axis=0)
+    stats = mf.mix_em_stats_pat_sorted(
+        Cs, means, sigmas, log_weights, data_s, w_s, pats, counts,
+        block_size=block_size,
+    )
+    out = mf.mix_em_finalize(
+        Cs, means, sigmas, stats,
+        transformation_precision=tprec,
+        noise_prior=noise_prior,
+        mean_prior=mean_prior,
+    )
+    return (*out, stats.llk)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "counts", "n_iters"))
+def _mix_em_n_pat_sorted_jit(Cs, means, sigmas, log_weights, data_s, perm,
+                             pats, weights, tprec, noise_prior, mean_prior,
+                             block_size, counts, n_iters):
+    w_s = jnp.take(weights, perm, axis=0)  # sort once for the whole scan
+
+    def step(carry, _):
+        Cs, means, sigmas, log_weights = carry
+        stats = mf.mix_em_stats_pat_sorted(
+            Cs, means, sigmas, log_weights, data_s, w_s, pats, counts,
+            block_size=block_size,
+        )
+        out = mf.mix_em_finalize(
+            Cs, means, sigmas, stats,
+            transformation_precision=tprec,
+            noise_prior=noise_prior,
+            mean_prior=mean_prior,
+        )
+        return out, stats.llk
+
+    carry, llks = jax.lax.scan(
+        step, (Cs, means, sigmas, log_weights), None, length=n_iters
+    )
+    return (*carry, llks)
+
+
+def _mix_em_pat_sorted_adapter(pat, order, Cs, means, sigmas, log_weights,
+                               data, mask, weights, tprec, noise_prior,
+                               mean_prior, block_size):
+    data_s, perm, counts = order
+    return _mix_em_pat_sorted_jit(Cs, means, sigmas, log_weights, data_s,
+                                  perm, pat[1], weights, tprec, noise_prior,
+                                  mean_prior, block_size, counts)
+
+
+def _mix_em_n_pat_sorted_adapter(pat, order, Cs, means, sigmas, log_weights,
+                                 data, mask, weights, tprec, noise_prior,
+                                 mean_prior, block_size, n_iters):
+    data_s, perm, counts = order
+    return _mix_em_n_pat_sorted_jit(Cs, means, sigmas, log_weights, data_s,
+                                    perm, pat[1], weights, tprec, noise_prior,
+                                    mean_prior, block_size, counts, n_iters)
+
+
 def _sharded_mix_em_pat_adapter(fn, pat, Cs, means, sigmas, log_weights, data,
                                 mask, weights, tprec, noise_prior, mean_prior,
                                 block_size, *n_iters):
@@ -616,8 +681,17 @@ class PPCAMix:
         if mesh is None:
             pat = self._pattern(dataset)
             if pat is not None:
-                adapter = _mix_em_n_pat_adapter if n_variant else _mix_em_pat_jit_adapter
-                step = functools.partial(adapter, pat)
+                # pattern_order is None for dense datasets (their P=1 table
+                # path stays) and when config.pat_sorted_estep is off
+                order = dataset.pattern_order()
+                if order is not None:
+                    adapter = (_mix_em_n_pat_sorted_adapter if n_variant
+                               else _mix_em_pat_sorted_adapter)
+                    step = functools.partial(adapter, pat, order)
+                else:
+                    adapter = (_mix_em_n_pat_adapter if n_variant
+                               else _mix_em_pat_jit_adapter)
+                    step = functools.partial(adapter, pat)
             else:
                 step = _mix_em_n_jit if n_variant else _mix_em_jit
             block = block_size_for(

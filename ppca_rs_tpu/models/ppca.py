@@ -74,6 +74,9 @@ def _impl_and_block(dataset: Dataset, k: int = 0):
             return _SINGLE_DENSE, bs
         pat = dataset.pattern_info()
         if pat is not None:
+            order = dataset.pattern_order()
+            if order is not None:
+                return _pattern_sorted_fns(*pat, order), bs
             return _pattern_fns(*pat), bs
         return _SINGLE, bs
     from ..parallel.api import fns_for
@@ -392,6 +395,77 @@ def _em_n_pat_jit(C, mean, sigma, data, mask, weights, pidx, pats,
         return _em_body_pat(C, mean, sigma, data, mask, weights, pidx, pats,
                             tprec, noise_prior, mean_prior, block_size)
     return _scan_em(body, C, mean, sigma, n_iters)
+
+
+def _em_body_pat_sorted(C, mean, sigma, data_s, weights, perm, pats,
+                        tprec, noise_prior, mean_prior, block_size, counts):
+    # weights are sorted per call (cheap (N,) gather) so with_weights twins
+    # and mixture-style reweighting reuse the cached sorted data copy.
+    w_s = jnp.take(weights, perm, axis=0)
+    stats = pd.em_stats_sorted(
+        C, mean, sigma, data_s, w_s, pats, counts, block_size=block_size
+    )
+    out = ml.em_finalize(
+        C, mean, sigma, stats,
+        transformation_precision=tprec,
+        noise_prior=noise_prior,
+        mean_prior=mean_prior,
+    )
+    return out, stats.llk
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "counts"))
+def _em_step_pat_sorted_jit(C, mean, sigma, data_s, weights, perm, pats,
+                            tprec, noise_prior, mean_prior, block_size,
+                            counts):
+    (new_C, new_mean, new_sigma), llk = _em_body_pat_sorted(
+        C, mean, sigma, data_s, weights, perm, pats,
+        tprec, noise_prior, mean_prior, block_size, counts,
+    )
+    return new_C, new_mean, new_sigma, llk
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "counts", "n_iters"))
+def _em_n_pat_sorted_jit(C, mean, sigma, data_s, weights, perm, pats,
+                         tprec, noise_prior, mean_prior, block_size, counts,
+                         n_iters):
+    w_s = jnp.take(weights, perm, axis=0)  # sort once for the whole scan
+
+    def body(C, mean, sigma):
+        stats = pd.em_stats_sorted(
+            C, mean, sigma, data_s, w_s, pats, counts, block_size=block_size
+        )
+        out = ml.em_finalize(
+            C, mean, sigma, stats,
+            transformation_precision=tprec,
+            noise_prior=noise_prior,
+            mean_prior=mean_prior,
+        )
+        return out, stats.llk
+
+    return _scan_em(body, C, mean, sigma, n_iters)
+
+
+def _pattern_sorted_fns(pidx, pats, order):
+    """Pattern verbs with the EM steps routed through the sorted-segment
+    path (ops/pattern_dedup.em_stats_sorted); readout verbs keep the
+    table-grouped implementations (they are per-sample outputs, where the
+    sorted layout would only add an unsort gather)."""
+    fns = _pattern_fns(pidx, pats)
+    data_s, perm, counts = order
+    fns["em_step"] = (
+        lambda C, mean, sigma, data, mask, weights, tprec, noise_prior,
+               mean_prior, bs:
+        _em_step_pat_sorted_jit(C, mean, sigma, data_s, weights, perm, pats,
+                                tprec, noise_prior, mean_prior, bs, counts)
+    )
+    fns["em_n"] = (
+        lambda C, mean, sigma, data, mask, weights, tprec, noise_prior,
+               mean_prior, bs, n:
+        _em_n_pat_sorted_jit(C, mean, sigma, data_s, weights, perm, pats,
+                             tprec, noise_prior, mean_prior, bs, counts, n)
+    )
+    return fns
 
 
 def _sharded_pattern_fns(fns, pidx, pats):

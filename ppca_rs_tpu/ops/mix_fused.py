@@ -1094,3 +1094,154 @@ def mix_em_finalize(Cs, means, sigmas, stats: MixEMStats, *,
     new_log_weights = jnp.log(stats.resp_sum)
     new_log_weights = new_log_weights - jax.scipy.special.logsumexp(new_log_weights)
     return new_Cs, new_means, new_sigmas, new_log_weights
+
+
+def mix_em_stats_pat_sorted(Cs, means, sigmas, log_weights, data_sorted,
+                            weights_sorted, patterns, counts, *,
+                            block_size: int) -> MixEMStats:
+    """Pattern-SORTED segment mixture EM statistics — the flop-minimal
+    pattern-mixture path (single-model analog: pattern_dedup.
+    em_stats_sorted; see its docstring for the sorted-layout contract).
+
+    Inside a segment every component's mask quantities are constants:
+    ``b_m = md0 @ C_m - bcorr[p, m]`` (one shared (B, D) x (D, M*k)
+    matmul + a precomputed (P, M, k) table), states are ONE batched
+    (M, B', k) x (M, k, k) matmul against the segment's table column —
+    2k^2 flops/sample/component instead of the candidates matmul's
+    2*P*k^2 (the dominant cost of the grouped path: ~4.2M of its ~11M
+    effective flops/sample at M=8, P=32, k=64) — and the per-pattern
+    outer statistic is a plain batched segment Gram instead of the
+    one-hot contraction (2*q*128 effective -> 2k^2).  Responsibilities
+    are computed inside the segment (the per-component llk differs only
+    through b/rnorm, which are exact there).
+
+    Exact reordering of :func:`mix_em_stats_pat`'s sums; f64 parity is
+    pinned by tests/test_mix_fused.py.  Reference semantics:
+    `ppca/src/mix.rs:281-337`, regrouped by pattern segment.
+    """
+    from ..config import block_size_for, config
+
+    n = data_sorted.shape[0]
+    M, D_loc, k = Cs.shape
+    dtype = ml.compute_dtype(data_sorted.dtype, Cs.dtype)
+    patterns_f = patterns.astype(dtype)
+    P = patterns_f.shape[0]
+    if len(counts) != P or sum(counts) != n:
+        raise ValueError(
+            f"counts {len(counts)}/{sum(counts)} do not partition "
+            f"{P} patterns x {n} rows"
+        )
+    tables = compute_mix_tables(Cs, sigmas, patterns_f)
+    Sig4 = tables[0].reshape(M, P, k, k)
+    pat_llk, sq_tab = tables[1], tables[2]                   # (M, P) each
+    mean0, dm, Cdm = _center_prep(Cs, means)
+    Cflat = jnp.transpose(Cs, (1, 0, 2)).reshape(D_loc, M * k)
+    # P-sized loop-invariant tables: computed once, so full product
+    # precision is free (the expanded-rnorm identity is cancellation-prone;
+    # see _block_post_pat's hp matmuls)
+    hp = jax.lax.Precision.HIGHEST
+    bcorr = jnp.einsum("pd,mdk->pmk", patterns_f, Cdm, precision=hp)
+    m2_tab = jnp.matmul(patterns_f, (dm * dm).T, precision=hp)  # (P, M)
+    sigma2 = (sigmas * sigmas)                               # (M,)
+    exact_rnorm = config.mix_exact_rnorm
+
+    cross1 = jnp.zeros((M * k, D_loc), dtype)                # md0-half of cross
+    t1 = jnp.zeros((M, D_loc), dtype)
+    dev_sq = jnp.zeros((M,), dtype)
+    llk = jnp.zeros((), dtype)
+    resp_max = jnp.zeros((M,), dtype)
+    souter, psw_l, wsum_l = [], [], []
+    off = 0
+    for p, c in enumerate(counts):
+        if c == 0:
+            souter.append(jnp.zeros((M, k * k), dtype))
+            psw_l.append(jnp.zeros((M, k), dtype))
+            wsum_l.append(jnp.zeros((M,), dtype))
+            continue
+        dseg = lax.slice_in_dim(data_sorted, off, off + c, axis=0)
+        wseg = lax.slice_in_dim(weights_sorted, off, off + c, axis=0)
+        off += c
+        m_p = patterns_f[p]                                  # (D,) constant
+        Sp = Sig4[:, p]                                      # (M, k, k)
+        bc_p = bcorr[p]                                      # (M, k)
+        m2_p = m2_tab[p]                                     # (M,)
+        pl_p = pat_llk[:, p]                                 # (M,)
+
+        def body(acc, fresh, db, wb, m_p=m_p, Sp=Sp, bc_p=bc_p, m2_p=m2_p,
+                 pl_p=pl_p):
+            B = db.shape[0]
+            w = wb.astype(dtype) * fresh.astype(dtype)
+            md0 = m_p * (db.astype(dtype) - mean0)           # (B, D)
+            bflat = md0 @ Cflat                              # (B, M*k)
+            b = bflat.reshape(B, M, k) - bc_p[None]          # (B, M, k)
+            s = jnp.einsum("bmk,mkj->bmj", b, Sp) / sigma2[None, :, None]
+            if exact_rnorm:
+                Rm = m_p * (db.astype(dtype)[None] - means[:, None, :])
+                rnorm = jnp.sum(Rm * Rm, axis=-1).T          # (B, M)
+            else:
+                rd2 = jnp.sum(md0 * md0, axis=-1)            # (B,)
+                mdm = jnp.matmul(md0, dm.T, precision=jax.lax.Precision.HIGHEST)
+                rnorm = rd2[:, None] - 2.0 * mdm + m2_p[None]
+            bs = jnp.sum(b * s, axis=-1)                     # (B, M)
+            quad = (rnorm - bs) / sigma2[None]
+            llks = pl_p[None] - 0.5 * quad                   # (B, M)
+            joint = (llks + log_weights[None, :]).T          # (M, B)
+            lse = _logsumexp0(joint)                         # (B,)
+            post = jnp.exp(joint - lse[None, :])             # (M, B)
+            resp = (post * w[None, :]).T                     # (B, M)
+            sw = s * resp[..., None]                         # (B, M, k)
+            swf = sw.reshape(B, M * k)
+            c1 = lax.dot_general(swf, md0, (((0,), (0,)), ((), ())))
+            so = jnp.einsum("bmk,bmj->mkj", sw, s)           # (M, k, k)
+            s2 = jnp.sum(s * s, axis=-1)
+            # clamp: epsilon-negative in f32 iff |dev|^2 ~ 0 (see dense_fast)
+            dv = jnp.sum(resp * jnp.maximum(
+                rnorm - bs - sigma2[None] * s2, 0.0), axis=0)
+            tt = lax.dot_general(resp, md0, (((0,), (0,)), ((), ())))  # (M, D)
+            return (
+                (acc[0] + c1, acc[1] + so.reshape(M, k * k),
+                 acc[2] + jnp.sum(sw, axis=0), acc[3] + jnp.sum(resp, axis=0),
+                 acc[4] + dv, acc[5] + tt, acc[6] + jnp.sum(w * lse),
+                 jnp.maximum(acc[7], jnp.max(resp, axis=0))),
+                None,
+            )
+
+        zero = (
+            jnp.zeros((M * k, D_loc), dtype), jnp.zeros((M, k * k), dtype),
+            jnp.zeros((M, k), dtype), jnp.zeros((M,), dtype),
+            jnp.zeros((M,), dtype), jnp.zeros((M, D_loc), dtype),
+            jnp.zeros((), dtype), jnp.zeros((M,), dtype),
+        )
+        acc, _, _ = _scan_blocks(
+            c, min(block_size, block_size_for(c, 0, M)), (dseg, wseg), body,
+            zero,
+        )
+        cross1 = cross1 + acc[0]
+        souter.append(acc[1])
+        psw_l.append(acc[2])
+        wsum_l.append(acc[3])
+        dev_sq = dev_sq + acc[4]
+        t1 = t1 + acc[5]
+        llk = llk + acc[6]
+        resp_max = jnp.maximum(resp_max, acc[7])
+
+    Souter_t = jnp.stack(souter)                             # (P, M, k^2)
+    psw_t = jnp.stack(psw_l)                                 # (P, M, k)
+    wsum_t = jnp.stack(wsum_l)                               # (P, M)
+
+    # cross: the md0 half accumulated per block; the mask*dm half grouped
+    # per pattern (same identities as mix_em_stats_pat's grouped assembly).
+    c2t = jnp.einsum("pd,pmk->mdk", patterns_f, psw_t)       # (M, D, k)
+    cross = (jnp.transpose(cross1.reshape(M, k, D_loc), (0, 2, 1))
+             - dm[:, :, None] * c2t)
+    rm = jnp.einsum("pm,pd->md", wsum_t, patterns_f)         # (M, D)
+    total_dev = t1 - dm * rm - jnp.sum(Cs * c2t, axis=-1)
+    S = jnp.einsum(
+        "pd,mpq->mdq", patterns_f,
+        jnp.transpose(Souter_t, (1, 0, 2)) + wsum_t.T[..., None] * tables[0],
+    )
+    square_error = jnp.sum(wsum_t.T * sq_tab, axis=-1)       # (M,)
+    resp_sum = jnp.sum(wsum_t, axis=0)                       # (M,)
+    totals = rm
+    return MixEMStats(cross, S, square_error, dev_sq, total_dev, totals,
+                      resp_sum, resp_max, llk)

@@ -315,3 +315,124 @@ def em_stats(C, mean, sigma, data, mask, pidx, patterns, weights, *,
     square_error = jnp.sum(wsum * tables.sq)
     totals = pat_T @ wsum
     return ml.EMStats(cross, S, square_error, dev_sq, total_dev, totals, llk)
+
+
+def em_stats_sorted(C, mean, sigma, data_sorted, weights_sorted, patterns,
+                    counts, *, block_size: int) -> ml.EMStats:
+    """Pattern-SORTED segment EM statistics — the flop-minimal pattern path.
+
+    ``data_sorted``/``weights_sorted`` are the dataset's rows grouped by
+    pattern (``Dataset.pattern_order``); ``counts`` is the static tuple of
+    per-pattern row counts (segment ``p`` is rows
+    ``[sum(counts[:p]), sum(counts[:p]) + counts[p])``).  Inside a segment
+    the mask is the CONSTANT row ``patterns[p]``, so per-sample work
+    collapses to plain dense matmuls with no gathers, no one-hot
+    contractions and no mask array at all:
+
+      * no mask read: ``R = m_p * (data - mean)`` with ``m_p`` a constant
+        (this also zero-fills whatever the data buffer holds at
+        unobserved positions);
+      * states ``s = (R C) Sigma_p / sigma^2`` cost 2k^2 flops/sample
+        against the segment's ONE table entry — the general pattern path
+        pays 2*P*k^2 for the all-patterns candidates matmul (or a
+        32 KB/sample gather);
+      * the per-pattern outer statistic is a plain segment Gram
+        ``(w s)^T s`` (2k^2) instead of the one-hot contraction whose MXU
+        cost is 2 * q * max(P, 128) effective;
+      * ``mask^T sw`` corrections group per segment for free (psw), and
+        the residual identities (rnorm/b.s/|s|^2) are unchanged.
+
+    Both pattern paths measured MXU-FLOP-BOUND on the v5e (the seg_gram
+    dead end, docs/DESIGN.md), so this targets the binding constraint:
+    per-sample matmul flops drop from ~2(D + Pk + 128q/k)k to ~2(2D + 2k)k
+    (the data pass now also carries the cross matmul per segment).
+    Everything is an exact reordering of :func:`em_stats`'s sums — f64
+    parity is pinned by tests/test_pattern_dedup.py.
+
+    Reference semantics: `ppca/src/ppca_model.rs:195-230` (per-sample
+    rayon fold), regrouped by pattern segment.
+    """
+    D, k = C.shape
+    n = data_sorted.shape[0]
+    dtype = ml.compute_dtype(data_sorted.dtype, C.dtype)
+    patterns_f = patterns.astype(dtype)
+    P = patterns_f.shape[0]
+    if len(counts) != P or sum(counts) != n:
+        raise ValueError(
+            f"counts {len(counts)}/{sum(counts)} do not partition "
+            f"{P} patterns x {n} rows"
+        )
+    tables = compute_tables(C, sigma, patterns_f)
+    Sig3 = tables.Sigma.reshape(P, k, k)
+    sigma2 = sigma * sigma
+
+    cross = jnp.zeros((D, k), dtype)
+    wR = jnp.zeros((D,), dtype)
+    dev_sq = jnp.zeros((), dtype)
+    quad = jnp.zeros((), dtype)
+    souter, psw_l, wsum_l = [], [], []
+    off = 0
+    for p, c in enumerate(counts):
+        if c == 0:
+            souter.append(jnp.zeros((k * k,), dtype))
+            psw_l.append(jnp.zeros((k,), dtype))
+            wsum_l.append(jnp.zeros((), dtype))
+            continue
+        dseg = lax.slice_in_dim(data_sorted, off, off + c, axis=0)
+        wseg = lax.slice_in_dim(weights_sorted, off, off + c, axis=0)
+        off += c
+        m_p = patterns_f[p]                                  # (D,) constant
+        Sp = Sig3[p]
+
+        def body(acc, fresh, db, wb, m_p=m_p, Sp=Sp):
+            # stale rows (final-window overlap / n<block padding) zero
+            # their weight; every statistic is w-linear.
+            w = wb.astype(dtype) * fresh.astype(dtype)
+            R = m_p * (db.astype(dtype) - mean)              # (B, D)
+            b = R @ C                                        # (B, k)
+            s = (b @ Sp) / sigma2
+            sw = s * w[:, None]
+            cr = lax.dot_general(R, sw, (((0,), (0,)), ((), ())))   # (D, k)
+            so = lax.dot_general(sw, s, (((0,), (0,)), ((), ())))   # (k, k)
+            rnorm = jnp.sum(R * R, axis=-1)
+            bs = jnp.sum(b * s, axis=-1)
+            # clamp: epsilon-negative in f32 iff |dev|^2 ~ 0 (see dense_fast)
+            dv = jnp.sum(w * jnp.maximum(
+                rnorm - bs - sigma2 * jnp.sum(s * s, axis=-1), 0.0))
+            qd = jnp.sum(w * (rnorm - bs))
+            return (
+                (acc[0] + cr, acc[1] + so, acc[2] + jnp.sum(sw, axis=0),
+                 acc[3] + jnp.sum(w), acc[4] + dv, acc[5] + qd,
+                 acc[6] + w @ R),
+                None,
+            )
+
+        from ..config import block_size_for
+
+        zero = (
+            jnp.zeros((D, k), dtype), jnp.zeros((k, k), dtype),
+            jnp.zeros((k,), dtype), jnp.zeros((), dtype),
+            jnp.zeros((), dtype), jnp.zeros((), dtype),
+            jnp.zeros((D,), dtype),
+        )
+        acc, _, _ = _scan_blocks(
+            c, min(block_size, block_size_for(c)), (dseg, wseg), body, zero
+        )
+        cross = cross + acc[0]
+        souter.append(acc[1].reshape(k * k))
+        psw_l.append(acc[2])
+        wsum_l.append(acc[3])
+        dev_sq = dev_sq + acc[4]
+        quad = quad + acc[5]
+        wR = wR + acc[6]
+
+    Souter = jnp.stack(souter)                               # (P, k*k)
+    psw = jnp.stack(psw_l)                                   # (P, k)
+    wsum = jnp.stack(wsum_l)                                 # (P,)
+    llk = jnp.sum(wsum * tables.pat_llk) - 0.5 * quad / sigma2
+    pat_T = patterns_f.T                                     # (D, P)
+    total_dev = wR - jnp.sum(C * (pat_T @ psw), axis=-1)
+    S = pat_T @ (Souter + wsum[:, None] * tables.Sigma)
+    square_error = jnp.sum(wsum * tables.sq)
+    totals = pat_T @ wsum
+    return ml.EMStats(cross, S, square_error, dev_sq, total_dev, totals, llk)

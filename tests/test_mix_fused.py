@@ -702,3 +702,69 @@ def test_mix_pattern_grouped_estep_matches(rng):
     finally:
         config.pat_grouped_estep = old
         pd._SALL_MAX_PK = old_bound
+
+
+def test_mix_pattern_sorted_path(rng, monkeypatch):
+    """mix_em_stats_pat_sorted is an exact reordering of the grouped path
+    (every MixEMStats field, both rnorm modes, garbage at masked data,
+    zero-count pattern), and PPCAMix EM routes through it when
+    config.pat_sorted_estep is on, producing the same mixture."""
+    import jax.numpy as jnp
+    from ppca_rs_tpu import Dataset, PPCAMix
+    from ppca_rs_tpu.config import config
+    from ppca_rs_tpu.ops import mix_fused as mf
+
+    M, N, D, k, P = 3, 311, 24, 7, 5
+    pats = rng.random((P, D)) < 0.55
+    pats[0] = False
+    pidx = rng.integers(0, P, size=N)
+    pidx = np.where(pidx == 2, 3, pidx)              # zero-count pattern
+    Cs = jnp.asarray(rng.normal(size=(M, D, k)))
+    means = jnp.asarray(rng.normal(size=(M, D)))
+    sigmas = jnp.asarray(0.5 + rng.random(M))
+    lw = jnp.log(jnp.asarray(rng.dirichlet(np.ones(M))))
+    data = rng.normal(size=(N, D))
+    mask = pats[pidx]
+    dz = np.where(mask, data, 0.0)
+    w = rng.random(N) + 0.25
+    w[3] = 0.0
+
+    perm = np.argsort(pidx, kind="stable")
+    counts = tuple(int(c) for c in np.bincount(pidx, minlength=P))
+    poison = np.where(mask, data, 77.7)
+    for exact in (False, True):
+        monkeypatch.setattr(config, "mix_exact_rnorm", exact)
+        ref = mf.mix_em_stats_pat(
+            Cs, means, sigmas, lw, jnp.asarray(dz), jnp.asarray(mask),
+            jnp.asarray(pidx, jnp.int32), jnp.asarray(pats), jnp.asarray(w),
+            block_size=64)
+        got = mf.mix_em_stats_pat_sorted(
+            Cs, means, sigmas, lw, jnp.asarray(poison[perm]),
+            jnp.asarray(w[perm]), jnp.asarray(pats), counts, block_size=64)
+        for name in ref._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+                rtol=1e-9, atol=1e-11, err_msg=f"{name} exact={exact}")
+
+    # end-to-end routing: PPCAMix.iterate equal through both paths
+    values = np.where(mask, data, np.nan)
+    monkeypatch.setattr(config, "pat_sorted_estep", False)
+    ds_a = Dataset(values, weights=w)
+    mix = PPCAMix.init(M, k, ds_a, key=jax.random.PRNGKey(0))
+    ref_mix = mix.iterate(ds_a)
+    monkeypatch.setattr(config, "pat_sorted_estep", True)
+    ds_b = Dataset(values, weights=w)
+    assert ds_b.pattern_order() is not None
+    calls = []
+    orig = mf.mix_em_stats_pat_sorted
+    monkeypatch.setattr(mf, "mix_em_stats_pat_sorted",
+                        lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1])
+    got_mix = mix.iterate(ds_b)
+    assert calls, "sorted mixture path did not engage"
+    for a, b in zip(got_mix._models, ref_mix._models):
+        np.testing.assert_allclose(np.asarray(a._transform),
+                                   np.asarray(b._transform),
+                                   rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got_mix._log_weights),
+                               np.asarray(ref_mix._log_weights),
+                               rtol=1e-9, atol=1e-11)

@@ -313,3 +313,95 @@ def test_em_stats_grouped_estep_matches(rng):
     finally:
         config.pat_grouped_estep = old
         pd._SALL_MAX_PK = old_bound
+
+
+def test_em_stats_sorted_matches(rng):
+    """em_stats_sorted (the pattern-SORTED segment path) is an exact
+    reordering of em_stats' sums: every EMStats field matches to f64
+    roundoff, including garbage at masked data positions, a zero-count
+    pattern, zero weights and the all-masked pattern."""
+    ds = make_patterned_dataset(rng, n=333, d=24, n_patterns=6)
+    k = 11
+    model = make_model(rng, d=ds.output_size(), k=k)
+    C, mean, sigma = model._transform, model._mean, model._isotropic_noise
+    pidx, pats = ds.pattern_info()
+    P = int(pats.shape[0])
+    pidx_h = np.asarray(pidx)
+
+    ref = pd.em_stats(C, mean, sigma, ds.data, ds.mask,
+                      pidx, pats, ds.weights_dev, block_size=64)
+
+    perm = np.argsort(pidx_h, kind="stable")
+    counts = tuple(int(c) for c in np.bincount(pidx_h, minlength=P))
+    # poison the masked entries: the sorted path multiplies by the constant
+    # pattern row, so whatever the buffer holds there must be inert
+    data = np.asarray(ds.data).copy()
+    data[~np.asarray(ds.mask)] = 123.456
+    got = pd.em_stats_sorted(C, mean, sigma, jnp.asarray(data)[perm],
+                             ds.weights_dev[jnp.asarray(perm)], pats, counts,
+                             block_size=64)
+    for name in ref._fields:
+        np.testing.assert_allclose(
+            getattr(got, name), getattr(ref, name), rtol=1e-9, atol=1e-11,
+            err_msg=f"EMStats field {name}",
+        )
+
+
+def test_pattern_order_gates_and_em_routing(rng, monkeypatch):
+    """Dataset.pattern_order caching + gates, and the end-to-end EM routing:
+    with config.pat_sorted_estep on, PPCAModel.iterate on a patterned
+    dataset goes through the sorted path and produces the same model as the
+    table-grouped path (f64 exact-reordering parity); with_weights twins
+    share the sorted cache but use their own weights."""
+    from ppca_rs_tpu.ops import pattern_dedup as pdm
+
+    ds = make_patterned_dataset(rng, n=200, d=16, n_patterns=4)
+    model = make_model(rng, d=16, k=5)
+
+    monkeypatch.setattr(config, "pat_sorted_estep", False)
+    assert ds.pattern_order() is None          # flag off -> no order
+    ref = model.iterate(ds)
+
+    monkeypatch.setattr(config, "pat_sorted_estep", True)
+    ds2 = make_patterned_dataset(rng, n=200, d=16, n_patterns=4)
+    order = ds2.pattern_order()
+    assert order is not None
+    data_s, perm, counts = order
+    assert sum(counts) == 200 and len(counts) == int(ds2.pattern_info()[1].shape[0])
+    assert ds2.pattern_order() is order        # cached
+    # with_weights shares the cache (same data)
+    wtwin = ds2.with_weights(np.asarray(rng.random(200) + 0.1))
+    assert wtwin.pattern_order() is order
+
+    # routing parity: same RNG-dataset as ds (re-seed) => same stats path
+    calls = []
+    orig = pdm.em_stats_sorted
+    monkeypatch.setattr(pdm, "em_stats_sorted",
+                        lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1])
+    got = model.iterate(ds)
+    assert calls, "sorted path did not engage"
+    for a, b in zip(
+        (got._transform, got._mean, got._isotropic_noise),
+        (ref._transform, ref._mean, ref._isotropic_noise),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-11)
+    # reweighted twin: shares the sorted cache, weights re-sorted per call
+    w2 = np.asarray(rng.random(200) + 0.1)
+    monkeypatch.setattr(config, "pat_sorted_estep", False)
+    ref2 = model.iterate(ds.with_weights(w2))
+    monkeypatch.setattr(config, "pat_sorted_estep", True)
+    got2 = model.iterate(ds.with_weights(w2))
+    np.testing.assert_allclose(np.asarray(got2._transform),
+                               np.asarray(ref2._transform),
+                               rtol=1e-9, atol=1e-11)
+
+    # gates: P cap and bytes cap demote (cached False)
+    monkeypatch.setattr(config, "pat_sorted_max_p", 1)
+    dsp = make_patterned_dataset(rng, n=200, d=16, n_patterns=4)
+    assert dsp.pattern_order() is None
+    monkeypatch.setattr(config, "pat_sorted_max_p", 256)
+    assert dsp.pattern_order() is None         # demotion cached
+    monkeypatch.setattr(config, "pat_sorted_max_bytes", 8)
+    dsb = make_patterned_dataset(rng, n=200, d=16, n_patterns=4)
+    assert dsb.pattern_order() is None

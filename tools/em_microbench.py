@@ -26,7 +26,8 @@ sys.path.insert(0, ".")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--path", default="masked",
-                    choices=["masked", "dense", "mix", "pat", "patmix"])
+                    choices=["masked", "dense", "mix", "pat", "patmix",
+                             "pat_sorted", "patmix_sorted"])
     ap.add_argument("--p", type=int, default=32)
     ap.add_argument("--n", type=int, default=262144)
     ap.add_argument("--d", type=int, default=None)
@@ -55,7 +56,7 @@ def main():
     key = jax.random.PRNGKey(0)
     kd, kmask, kc = jax.random.split(key, 3)
     data = jax.random.normal(kd, (N, D), jnp.float32)
-    if args.path in ("pat", "patmix"):
+    if args.path in ("pat", "patmix", "pat_sorted", "patmix_sorted"):
         P = args.p
         patterns = jax.random.uniform(kmask, (P, D)) >= miss
         pidx = jax.random.randint(jax.random.PRNGKey(7), (N,), 0, P)
@@ -68,7 +69,59 @@ def main():
     w = jnp.ones((N,), jnp.float32)
     BS = 8192
 
-    if args.path == "pat":
+    if args.path in ("pat_sorted", "patmix_sorted"):
+        # sorted-segment layout: host argsort + static per-pattern counts
+        import numpy as np
+
+        pidx_h = np.asarray(pidx)
+        perm = np.argsort(pidx_h, kind="stable")
+        counts = tuple(int(c) for c in np.bincount(pidx_h, minlength=P))
+        data = jnp.take(data, jnp.asarray(perm.astype(np.int32)), axis=0)
+
+    if args.path == "pat_sorted":
+        from ppca_rs_tpu.ops import pattern_dedup as pdd
+
+        C = jax.random.normal(kc, (D, k), jnp.float32) * 0.3
+        mean = jnp.zeros((D,), jnp.float32)
+        sigma = jnp.float32(1.0)
+
+        def chain(n):
+            @jax.jit
+            def run(C, mean, sigma, data, patterns, w):
+                def step(carry, _):
+                    C, mean, sigma = carry
+                    st = pdd.em_stats_sorted(C, mean, sigma, data, w,
+                                             patterns, counts, block_size=BS)
+                    out = ml.em_finalize(
+                        C, mean, sigma, st, transformation_precision=0.0)
+                    return out, st.llk
+                carry, llks = jax.lax.scan(step, (C, mean, sigma), None, length=n)
+                return llks[-1]
+            return run
+        opn = (C, mean, sigma, data, patterns, w)
+    elif args.path == "patmix_sorted":
+        Cs = jax.random.normal(kc, (M, D, k), jnp.float32) * 0.3
+        means = jnp.zeros((M, D), jnp.float32)
+        sigmas = jnp.full((M,), 1.0, jnp.float32)
+        lw = jnp.zeros((M,), jnp.float32) - jnp.log(float(M))
+
+        def chain(n):
+            @jax.jit
+            def run(Cs, means, sigmas, lw, data, patterns, w):
+                def step(carry, _):
+                    Cs, means, sigmas, lw = carry
+                    st = mf.mix_em_stats_pat_sorted(
+                        Cs, means, sigmas, lw, data, w, patterns, counts,
+                        block_size=BS)
+                    out = mf.mix_em_finalize(
+                        Cs, means, sigmas, st, transformation_precision=0.0)
+                    return out, st.llk
+                carry, llks = jax.lax.scan(
+                    step, (Cs, means, sigmas, lw), None, length=n)
+                return llks[-1]
+            return run
+        opn = (Cs, means, sigmas, lw, data, patterns, w)
+    elif args.path == "pat":
         from ppca_rs_tpu.ops import pattern_dedup as pdd
 
         C = jax.random.normal(kc, (D, k), jnp.float32) * 0.3
