@@ -11,8 +11,10 @@ Prints ONE JSON line:
 
 vs_baseline: the reference publishes no quantitative numbers (BASELINE.md),
 so the baseline is an estimated 64-core-CPU throughput of the reference's EM:
-a single-core vectorized NumPy implementation of the identical blocked
-E+M step is timed (best of 3) and scaled by 64 (the north-star CPU).
+a single-core (BLAS pinned to one thread) vectorized NumPy implementation of
+the identical blocked E+M step, FROZEN at its measured median (see
+FROZEN_NUMPY_SPS) and scaled by 64 (the north-star CPU).  A live pinned
+re-measure is logged each run so drift from the frozen constant is visible.
 """
 
 import argparse
@@ -27,10 +29,27 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# Frozen single-core NumPy proxy throughput (samples/s) for the headline
+# D=1024/k=64/50%-missing EM step.  Provenance: measured 2026-08-20 on this
+# host with BLAS pinned to ONE thread (threadpoolctl), median of 9 reps
+# across 3 fresh processes: 2636-2682, median 2650 (BASELINE.md "CPU proxy").
+# Unpinned, the shared host's BLAS-thread contention swung the same
+# measurement 5.1e2-2.4e3 across round-4 runs, making vs_baseline a lottery
+# (VERDICT r4 weak #4) — so the RATIO uses this frozen constant and the live
+# pinned re-measure below is logged only to make drift visible.
+FROZEN_NUMPY_SPS = 2650.0
+
+
 def numpy_em_throughput(D, k, n=2048, block=512, reps=5):
     """Single-core NumPy twin of the fused EM pass; returns samples/sec
-    (best of ``reps`` — the host CPU is shared and noisy, so the fastest
-    repetition is the least-contended estimate of its capability)."""
+    (median of ``reps`` with BLAS pinned to one thread — see
+    FROZEN_NUMPY_SPS for why pinning matters on this shared host)."""
+    try:
+        from threadpoolctl import threadpool_limits
+    except ImportError:  # pragma: no cover - baked into this image
+        import contextlib
+
+        threadpool_limits = lambda *_a, **_k: contextlib.nullcontext()
     rng = np.random.default_rng(0)
     C = rng.normal(size=(D, k)).astype(np.float32)
     mean = np.zeros(D, dtype=np.float32)
@@ -40,8 +59,9 @@ def numpy_em_throughput(D, k, n=2048, block=512, reps=5):
     w = np.ones(n, dtype=np.float32)
     CC = (C[:, :, None] * C[:, None, :]).reshape(D, k * k)
 
-    best = float("inf")
-    for _ in range(reps):
+    times = []
+    with threadpool_limits(limits=1):
+      for _ in range(reps):
         start = time.perf_counter()
         cross = np.zeros((D, k), dtype=np.float32)
         S = np.zeros((D, k * k), dtype=np.float32)
@@ -59,8 +79,8 @@ def numpy_em_throughput(D, k, n=2048, block=512, reps=5):
             _ = m * (d - s @ C.T - mean)
             _ = np.log(np.diagonal(L, axis1=-2, axis2=-1)).sum()
         np.linalg.solve(S.reshape(D, k, k) + 1e-6 * np.eye(k), cross[..., None])
-        best = min(best, time.perf_counter() - start)
-    return n / best
+        times.append(time.perf_counter() - start)
+    return n / float(np.median(times))
 
 
 def main():
@@ -154,9 +174,17 @@ def main():
         f"llk[last]/N={final_llk / N:.6g}, sigma={model2.isotropic_noise:.4f}"
     )
 
+    # vs_baseline uses the FROZEN pinned proxy so the ratio is deterministic;
+    # the live pinned re-measure is logged only so drift stays visible.
     np_sps = numpy_em_throughput(D, k)
-    baseline = np_sps * 64.0
-    log(f"numpy single-core: {np_sps:.3e} samples/s -> 64-core baseline {baseline:.3e}")
+    drift = np_sps / FROZEN_NUMPY_SPS
+    if not 0.7 < drift < 1.4:
+        log(f"WARNING: live pinned proxy drifted {drift:.2f}x from frozen "
+            f"constant — re-measure and update FROZEN_NUMPY_SPS/BASELINE.md")
+    baseline = FROZEN_NUMPY_SPS * 64.0
+    log(f"numpy single-core pinned: live {np_sps:.3e} samples/s "
+        f"(frozen {FROZEN_NUMPY_SPS:.3e}, drift {drift:.2f}x) -> "
+        f"64-core baseline {baseline:.3e}")
 
     print(
         json.dumps(
