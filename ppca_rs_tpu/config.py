@@ -113,9 +113,15 @@ class Config:
     #: this targets exactly the binding constraint.  Costs: one sorted
     #: data copy in HBM (gated by pat_sorted_max_bytes) and a retrace per
     #: dataset (segment offsets are compile-time constants).
-    #: MEASUREMENT-GATED: default False until the v5e A/B lands; opt in
-    #: with PPCA_RS_TPU_PAT_SORTED.
-    pat_sorted_estep: bool = False
+    #: Default ON from the round-5 v5e A/B (logs/r5_arm01-06.log):
+    #: single-model pattern EM marginal 17.37 -> 4.09 ms/iter (P=32,
+    #: D=1024, k=64, 262k rows; 15.09 -> 64.2M samples/s, 4.2x),
+    #: pattern-mixture 137.7 (r4h grouped control; the r5 control arm hit
+    #: its compile timeout) -> 17.17 ms/iter (M=8, same shapes; 8.0x),
+    #: and P=128 single-model 36.60 -> 7.72 ms (4.7x, compile 45.7 s —
+    #: the unrolled segment program scales fine to P=128).  Opt out with
+    #: PPCA_RS_TPU_NO_PAT_SORTED.
+    pat_sorted_estep: bool = True
 
     #: Do not build the sorted-by-pattern data copy past this size (it
     #: doubles the dataset's HBM footprint while training).
@@ -125,6 +131,18 @@ class Config:
     #: unrolled segment scan to the compiled EM step, so very fragmented
     #: masks would bloat the program for shrinking per-segment wins.
     pat_sorted_max_p: int = 256
+
+    #: Require N / P >= this many rows per segment (on average) before the
+    #: sorted path engages.  Tiny segments lose twice: per-segment matmuls
+    #: stop amortizing, and the O(P)-segment unrolled program explodes
+    #: compile size (a ~200-pattern/2000-row random-mask dataset produced a
+    #: program big enough to SEGFAULT the XLA:CPU compiler under suite
+    #: memory pressure — test_bf16_storage_pipeline, round 5).  The v5e
+    #: A/B's smallest measured winning config is 2048 rows/segment (P=128
+    #: at 262k rows, 4.7x); 512 keeps a 4x safety margin while blocking
+    #: the fragmented-mask regime.  Below the gate the grouped pattern
+    #: path (pat_grouped_estep) carries the workload.
+    pat_sorted_min_rows: int = 512
 
     #: Upper bound on P for the dedup path (table memory is P * k^2 and the
     #: final assembly is a (D, P) contraction).

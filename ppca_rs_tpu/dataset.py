@@ -162,12 +162,13 @@ class Dataset:
     used by the compute paths is ``weights_dev``."""
 
     __slots__ = ("data", "mask", "weights_dev", "_n_real", "_all_observed",
-                 "_patterns", "_pattern_order")
+                 "_patterns", "_pattern_order", "_pattern_order_sharded")
 
     def __init__(self, ndarray=None, weights=None, *, _parts=None):
         self._all_observed = None
         self._patterns = None
         self._pattern_order = None
+        self._pattern_order_sharded = None
         if _parts is not None:
             self.data, self.mask, self.weights_dev = _parts[:3]
             self._n_real = _parts[3] if len(_parts) > 3 else None
@@ -241,6 +242,7 @@ class Dataset:
         new._patterns = self._patterns          # same mask, same patterns
         new._pattern_order = self._pattern_order  # same data; weights are
         # re-sorted per call by the consumers (see pattern_order docstring)
+        new._pattern_order_sharded = self._pattern_order_sharded
         return new
 
     # ------------------------------------------------------------------ #
@@ -569,6 +571,11 @@ class Dataset:
         if P > config.pat_sorted_max_p:
             self._pattern_order = False
             return None
+        if len(self) < P * config.pat_sorted_min_rows:
+            # fragmented masks: tiny segments stop amortizing and the
+            # O(P)-segment unrolled program bloats compile (see config)
+            self._pattern_order = False
+            return None
         if self.data.nbytes > config.pat_sorted_max_bytes:
             self._pattern_order = False
             return None
@@ -579,6 +586,95 @@ class Dataset:
         data_sorted = _take_rows_jit(self.data, perm)
         self._pattern_order = (data_sorted, perm, counts)
         return self._pattern_order
+
+    def pattern_order_sharded(self):
+        """Balanced sorted-by-pattern view for DATA-AXIS-SHARDED datasets —
+        the shard_map twin of :meth:`pattern_order`.  Returns
+        ``(data_sorted, perm, valid, counts_local)`` or ``None``.
+
+        shard_map is SPMD: every shard runs the SAME compiled program, so
+        per-shard segment offsets must be identical compile-time constants.
+        Each pattern's rows are therefore ceil-padded to a multiple of the
+        data-axis size S and dealt contiguously across shards — shard ``s``
+        holds, for every pattern ``p``, rows ``idx_p[s*c_p:(s+1)*c_p]``
+        with ``c_p = ceil(count_p / S)``, so ``counts_local = (c_0..c_P)``
+        is the same static tuple on every shard.  Padding slots duplicate
+        the pattern's first row with ``valid = 0``; every EM statistic is
+        weight-linear, so zero-weight duplicates are exactly neutral (the
+        same invariant that makes the sharding layer's all-masked padding
+        rows inert).  ``perm``/``valid`` are (S*L,) device arrays sharded
+        over rows; consumers build per-call sorted weights as
+        ``take(weights, perm) * valid``.
+
+        Applies to single-process datasets sharded over the data axis only
+        (model-axis sharding keeps the general path: segment constants span
+        full D rows), while ``config.pat_sorted_estep`` is on."""
+        from .config import config
+
+        if not (config.use_pattern_dedup and config.pat_sorted_estep):
+            return None
+        if jax.process_count() > 1:
+            # host argsort needs every row's pattern index; multi-process
+            # arrays are not fully addressable — keep the grouped path.
+            return None
+        if self._pattern_order_sharded is not None:
+            return self._pattern_order_sharded or None
+        from .parallel.mesh import DATA_AXIS, MODEL_AXIS, dataset_mesh
+
+        mesh = dataset_mesh(self)
+        if (mesh is None or DATA_AXIS not in mesh.axis_names
+                or (MODEL_AXIS in mesh.axis_names
+                    and mesh.shape[MODEL_AXIS] > 1)):
+            self._pattern_order_sharded = False
+            return None
+        info = self.pattern_info()
+        if info is None:
+            self._pattern_order_sharded = False
+            return None
+        pidx, patterns = info
+        P = int(patterns.shape[0])
+        S = int(mesh.shape[DATA_AXIS])
+        if P > config.pat_sorted_max_p:
+            self._pattern_order_sharded = False
+            return None
+        if len(self) < P * config.pat_sorted_min_rows:
+            self._pattern_order_sharded = False
+            return None
+        if self.data.nbytes > config.pat_sorted_max_bytes:
+            self._pattern_order_sharded = False
+            return None
+        pidx_h = np.asarray(pidx)
+        order = np.argsort(pidx_h, kind="stable").astype(np.int32)
+        counts = np.bincount(pidx_h, minlength=P)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        c_loc = -(-counts // S)                       # ceil(count_p / S)
+        L = int(c_loc.sum())
+        offs = np.concatenate(([0], np.cumsum(c_loc)[:-1]))
+        perm_h = np.zeros((S, L), np.int32)
+        valid_h = np.zeros((S, L), np.float32)
+        for p in range(P):
+            c, n_p = int(c_loc[p]), int(counts[p])
+            if c == 0:
+                continue
+            idx_p = order[starts[p]:starts[p] + n_p]
+            pad = S * c - n_p
+            perm_h[:, offs[p]:offs[p] + c] = np.concatenate(
+                (idx_p, np.full(pad, idx_p[0], np.int32))).reshape(S, c)
+            valid_h[:, offs[p]:offs[p] + c] = np.concatenate(
+                (np.ones(n_p, np.float32),
+                 np.zeros(pad, np.float32))).reshape(S, c)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        row_sh = NamedSharding(mesh, PartitionSpec(DATA_AXIS, None))
+        vec_sh = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+        perm = jax.device_put(jnp.asarray(perm_h.reshape(-1)), vec_sh)
+        valid = jax.device_put(jnp.asarray(valid_h.reshape(-1)), vec_sh)
+        data_sorted = jax.jit(
+            lambda d, p: jnp.take(d, p, axis=0), out_shardings=row_sh
+        )(self.data, perm)
+        counts_local = tuple(int(c) for c in c_loc)
+        self._pattern_order_sharded = (data_sorted, perm, valid, counts_local)
+        return self._pattern_order_sharded
 
     def empty_dimensions(self) -> List[int]:
         """Dimensions masked in *every* sample (`dataset.rs:193-222`).

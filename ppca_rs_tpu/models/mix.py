@@ -211,6 +211,18 @@ def _sharded_mix_em_pat_adapter(fn, pat, Cs, means, sigmas, log_weights, data,
               *n_iters)
 
 
+def _sharded_mix_em_pat_sorted_adapter(fn, pat, order, Cs, means, sigmas,
+                                       log_weights, data, mask, weights,
+                                       tprec, noise_prior, mean_prior,
+                                       block_size, *n_iters):
+    """Bind the balanced sorted layout (Dataset.pattern_order_sharded) onto
+    the sharded sorted-segment mixture verbs (parallel/api.py)."""
+    data_s, perm, valid, counts = order
+    return fn(Cs, means, sigmas, log_weights, data_s, weights, perm, valid,
+              pat[1], tprec, noise_prior, mean_prior, block_size, counts,
+              *n_iters)
+
+
 @functools.partial(jax.jit, static_argnames=("block_size",))
 def _mix_llks_pat_jit(Cs, means, sigmas, data, mask, pidx, pats, block_size):
     return mf.mix_llks(Cs, means, sigmas, data, mask,
@@ -709,8 +721,18 @@ class PPCAMix:
             # where it keeps the same M x P speedup as the unsharded EM.
             pat = self._pattern(dataset)
             if pat is not None:
-                base = fns["mix_em_n_pat" if n_variant else "mix_em_step_pat"]
-                step = functools.partial(_sharded_mix_em_pat_adapter, base, pat)
+                order = (None if use_model
+                         else dataset.pattern_order_sharded())
+                if order is not None:
+                    base = fns["mix_em_n_pat_sorted" if n_variant
+                               else "mix_em_step_pat_sorted"]
+                    step = functools.partial(
+                        _sharded_mix_em_pat_sorted_adapter, base, pat, order)
+                else:
+                    base = fns["mix_em_n_pat" if n_variant
+                               else "mix_em_step_pat"]
+                    step = functools.partial(
+                        _sharded_mix_em_pat_adapter, base, pat)
             else:
                 step = fns["mix_em_n" if n_variant else "mix_em_step"]
             block = block_size_for(

@@ -89,6 +89,9 @@ def _impl_and_block(dataset: Dataset, k: int = 0):
         # Data-axis-sharded pattern dedup: same tables, per-shard rows.
         pat = dataset.pattern_info()
         if pat is not None:
+            order = dataset.pattern_order_sharded()
+            if order is not None:
+                return _sharded_pattern_sorted_fns(fns, *pat, order), bs
             return _sharded_pattern_fns(fns, *pat), bs
     return fns, bs
 
@@ -491,6 +494,31 @@ def _sharded_pattern_fns(fns, pidx, pats):
         "mix_llks": fns["mix_llks"],
         "mix_em_step": fns["mix_em_step"],
     }
+
+
+def _sharded_pattern_sorted_fns(fns, pidx, pats, order):
+    """Sharded pattern verbs with the EM steps routed through the
+    balanced sorted-segment layout (Dataset.pattern_order_sharded):
+    per-shard local segments, identical static counts on every shard,
+    psum'd statistics.  Readout verbs keep the table-grouped path (same
+    rationale as _pattern_sorted_fns)."""
+    out = _sharded_pattern_fns(fns, pidx, pats)
+    data_s, perm, valid, counts = order
+    out["em_step"] = (
+        lambda C, mean, sigma, data, mask, weights, tprec, noise_prior,
+               mean_prior, bs:
+        fns["em_step_pat_sorted"](C, mean, sigma, data_s, weights, perm,
+                                  valid, pats, tprec, noise_prior,
+                                  mean_prior, bs, counts)
+    )
+    out["em_n"] = (
+        lambda C, mean, sigma, data, mask, weights, tprec, noise_prior,
+               mean_prior, bs, n:
+        fns["em_n_pat_sorted"](C, mean, sigma, data_s, weights, perm,
+                               valid, pats, tprec, noise_prior,
+                               mean_prior, bs, counts, n)
+    )
+    return out
 
 
 def _pattern_fns(pidx, pats):

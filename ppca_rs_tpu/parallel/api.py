@@ -325,6 +325,72 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         )(C, mean, sigma, data, mask, weights, pidx, pats,
           tprec, noise_prior, mean_prior)
 
+    def _em_body_pat_sorted(C, mean, sigma, data_s, w_s, pats,
+                            tprec, noise_prior, mean_prior, block_size,
+                            counts):
+        st = pd.em_stats_sorted(
+            C, mean, sigma, data_s, w_s, pats, counts,
+            block_size=block_size,
+        )
+        st = jax.tree.map(lambda x: lax.psum(x, DATA_AXIS), st)
+        out = ml.em_finalize(
+            C, mean, sigma, st,
+            transformation_precision=tprec,
+            noise_prior=noise_prior, mean_prior=mean_prior,
+        )
+        return out, st.llk
+
+    # Sorted-segment EM over a data-axis mesh (Dataset.pattern_order_sharded):
+    # every shard holds the SAME static per-pattern counts (ceil-balanced
+    # layout with zero-weight duplicate padding), so one SPMD program runs
+    # the flop-minimal segment scan locally and the statistics psum exactly
+    # like the general path.  Weights are sorted per call OUTSIDE shard_map
+    # ((N,) cross-shard gather — XLA inserts the collective) so with_weights
+    # twins share the cached sorted data copy.
+
+    @functools.partial(jax.jit, static_argnames=("block_size", "counts"))
+    def em_step_pat_sorted(C, mean, sigma, data_s, weights, perm, valid,
+                           pats, tprec, noise_prior, mean_prior, block_size,
+                           counts):
+        w_s = jnp.take(weights, perm, axis=0) * valid
+
+        def inner(C, mean, sigma, data_s, w_s, pats,
+                  tprec, noise_prior, mean_prior):
+            (new_C, new_mean, new_sigma), llk = _em_body_pat_sorted(
+                C, mean, sigma, data_s, w_s, pats,
+                tprec, noise_prior, mean_prior, block_size, counts,
+            )
+            return new_C, new_mean, new_sigma, llk
+        return smap(
+            inner,
+            (cspec, mspec, rep, rows, wspec, rep, rep, rep, rep),
+            (cspec, mspec, rep, rep),
+        )(C, mean, sigma, data_s, w_s, pats, tprec, noise_prior, mean_prior)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("block_size", "counts", "n_iters"))
+    def em_n_pat_sorted(C, mean, sigma, data_s, weights, perm, valid, pats,
+                        tprec, noise_prior, mean_prior, block_size, counts,
+                        n_iters):
+        w_s = jnp.take(weights, perm, axis=0) * valid  # sort once per scan
+
+        def inner(C, mean, sigma, data_s, w_s, pats,
+                  tprec, noise_prior, mean_prior):
+            def step(carry, _):
+                return _em_body_pat_sorted(
+                    *carry, data_s, w_s, pats,
+                    tprec, noise_prior, mean_prior, block_size, counts,
+                )
+            (C, mean, sigma), llks = lax.scan(
+                step, (C, mean, sigma), None, length=n_iters
+            )
+            return C, mean, sigma, llks
+        return smap(
+            inner,
+            (cspec, mspec, rep, rows, wspec, rep, rep, rep, rep),
+            (cspec, mspec, rep, rep),
+        )(C, mean, sigma, data_s, w_s, pats, tprec, noise_prior, mean_prior)
+
     @functools.partial(jax.jit, static_argnames=("block_size",))
     def mix_llks(Cs, means, sigmas, data, mask, block_size):
         """Sharded fused per-component llks: one pass for all M components
@@ -595,6 +661,78 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         )(Cs, means, sigmas, log_weights, data, mask, weights,
           pidx, pats, tprec, noise_prior, mean_prior)
 
+    def _mix_em_body_pat_sorted(Cs, means, sigmas, log_weights, data_s, w_s,
+                                pats, tprec, noise_prior, mean_prior,
+                                block_size, counts):
+        """Sorted-segment twin of _mix_em_body_pat under the balanced
+        sharded layout (Dataset.pattern_order_sharded): identical static
+        per-pattern counts on every shard, zero-weight duplicate padding
+        (neutral in every statistic incl. the weight-scaled resp_max)."""
+        from ..ops import mix_fused as mfd
+
+        stats = mfd.mix_em_stats_pat_sorted(
+            Cs, means, sigmas, log_weights, data_s, w_s, pats, counts,
+            block_size=block_size,
+        )
+        stats = _combine_mix_stats(stats)
+        out = mfd.mix_em_finalize(
+            Cs, means, sigmas, stats,
+            transformation_precision=tprec,
+            noise_prior=noise_prior,
+            mean_prior=mean_prior,
+        )
+        return out, stats.llk
+
+    @functools.partial(jax.jit, static_argnames=("block_size", "counts"))
+    def mix_em_step_pat_sorted(Cs, means, sigmas, log_weights, data_s,
+                               weights, perm, valid, pats, tprec,
+                               noise_prior, mean_prior, block_size, counts):
+        w_s = jnp.take(weights, perm, axis=0) * valid
+
+        def inner(Cs, means, sigmas, log_weights, data_s, w_s, pats,
+                  tprec, noise_prior, mean_prior):
+            (new_Cs, new_means, new_sigmas, new_logw), llk = \
+                _mix_em_body_pat_sorted(
+                    Cs, means, sigmas, log_weights, data_s, w_s, pats,
+                    tprec, noise_prior, mean_prior, block_size, counts,
+                )
+            return new_Cs, new_means, new_sigmas, new_logw, llk
+
+        return smap(
+            inner,
+            (P(None, col, None), P(None, col), rep, rep,
+             rows, wspec, rep, rep, rep, rep),
+            (P(None, col, None), P(None, col), rep, rep, rep),
+        )(Cs, means, sigmas, log_weights, data_s, w_s, pats,
+          tprec, noise_prior, mean_prior)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("block_size", "counts", "n_iters"))
+    def mix_em_n_pat_sorted(Cs, means, sigmas, log_weights, data_s, weights,
+                            perm, valid, pats, tprec, noise_prior,
+                            mean_prior, block_size, counts, n_iters):
+        w_s = jnp.take(weights, perm, axis=0) * valid  # sort once per scan
+
+        def inner(Cs, means, sigmas, log_weights, data_s, w_s, pats,
+                  tprec, noise_prior, mean_prior):
+            def step(carry, _):
+                return _mix_em_body_pat_sorted(
+                    *carry, data_s, w_s, pats,
+                    tprec, noise_prior, mean_prior, block_size, counts,
+                )
+            carry, llks = lax.scan(
+                step, (Cs, means, sigmas, log_weights), None, length=n_iters
+            )
+            return (*carry, llks)
+
+        return smap(
+            inner,
+            (P(None, col, None), P(None, col), rep, rep,
+             rows, wspec, rep, rep, rep, rep),
+            (P(None, col, None), P(None, col), rep, rep, rep),
+        )(Cs, means, sigmas, log_weights, data_s, w_s, pats,
+          tprec, noise_prior, mean_prior)
+
     @functools.partial(jax.jit, static_argnames=("block_size",))
     def mix_em_stats_pat_only(Cs, means, sigmas, log_weights, data, mask,
                               weights, pidx, pats, block_size):
@@ -642,11 +780,15 @@ def fns_for(mesh, use_model_axis: bool, dense: bool = False):
         fns["smooth_pat"] = smooth_pat
         fns["em_step_pat"] = em_step_pat
         fns["em_n_pat"] = em_n_pat
+        fns["em_step_pat_sorted"] = em_step_pat_sorted
+        fns["em_n_pat_sorted"] = em_n_pat_sorted
         fns["mix_llks_pat"] = mix_llks_pat
         fns["mix_infer_pat"] = mix_infer_pat
         fns["mix_smooth_pat"] = mix_smooth_pat
         fns["mix_em_step_pat"] = mix_em_step_pat
         fns["mix_em_n_pat"] = mix_em_n_pat
+        fns["mix_em_step_pat_sorted"] = mix_em_step_pat_sorted
+        fns["mix_em_n_pat_sorted"] = mix_em_n_pat_sorted
         # stats-only verbs (the streaming accumulator's sources) psum over
         # the data axis alone; on a model-axis mesh their D-indexed fields
         # would be device-local, so the keys simply don't exist there.

@@ -715,6 +715,7 @@ def test_mix_pattern_sorted_path(rng, monkeypatch):
     from ppca_rs_tpu.ops import mix_fused as mf
 
     M, N, D, k, P = 3, 311, 24, 7, 5
+    monkeypatch.setattr(config, "pat_sorted_min_rows", 0)  # tiny parity shapes
     pats = rng.random((P, D)) < 0.55
     pats[0] = False
     pidx = rng.integers(0, P, size=N)

@@ -358,6 +358,9 @@ def test_pattern_order_gates_and_em_routing(rng, monkeypatch):
     ds = make_patterned_dataset(rng, n=200, d=16, n_patterns=4)
     model = make_model(rng, d=16, k=5)
 
+    # n=200 is below the fragmented-mask gate; this test pins ROUTING
+    # parity, so open the gate (the gate itself is asserted at the end)
+    monkeypatch.setattr(config, "pat_sorted_min_rows", 0)
     monkeypatch.setattr(config, "pat_sorted_estep", False)
     assert ds.pattern_order() is None          # flag off -> no order
     ref = model.iterate(ds)
@@ -405,3 +408,11 @@ def test_pattern_order_gates_and_em_routing(rng, monkeypatch):
     monkeypatch.setattr(config, "pat_sorted_max_bytes", 8)
     dsb = make_patterned_dataset(rng, n=200, d=16, n_patterns=4)
     assert dsb.pattern_order() is None
+    # fragmented-mask gate: avg segment size below pat_sorted_min_rows
+    # demotes to the grouped path (tiny segments bloat the unrolled
+    # program — the round-5 XLA:CPU segfault class)
+    monkeypatch.setattr(config, "pat_sorted_max_bytes", 4 << 30)
+    monkeypatch.setattr(config, "pat_sorted_min_rows", 512)
+    dsm = make_patterned_dataset(rng, n=200, d=16, n_patterns=4)
+    assert dsm.pattern_order() is None         # 200 < 4 * 512
+    assert dsm.pattern_info() is not None      # dedup tables still engage

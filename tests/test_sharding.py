@@ -142,6 +142,99 @@ def test_sharded_pattern_dedup_matches(rng):
     assert np.isclose(model.llk(sds2), model.llk(ds), rtol=1e-10)
 
 
+def test_sharded_pattern_sorted_em_matches(rng, monkeypatch):
+    """Data-axis-sharded EM through the balanced sorted-segment layout
+    (Dataset.pattern_order_sharded): every shard gets identical static
+    per-pattern counts via ceil padding with zero-weight duplicate rows,
+    and the psum'd statistics match the unsharded path exactly.  Uses
+    N=101 over 8 shards so BOTH padding kinds are live (shard_dataset's
+    all-masked neutral rows AND the sorted layout's duplicate slots)."""
+    from ppca_rs_tpu.config import config
+
+    monkeypatch.setattr(config, "pat_sorted_min_rows", 0)  # tiny parity shapes
+    n, d, k, P = 101, 8, 3, 4
+    pats = rng.random((P, d)) < 0.6
+    pats[0] = False                       # all-masked pattern in the mix
+    idx = rng.integers(0, P, size=n)
+    values = rng.normal(size=(n, d))
+    values[~pats[idx]] = np.nan
+    weights = rng.random(n) + 0.5
+    model = PPCAModel(
+        isotropic_noise=0.4, transform=rng.normal(size=(d, k)),
+        mean=rng.normal(size=d),
+    )
+    ds = Dataset(values, weights=weights)
+    mesh = make_mesh(data=8, model=1)
+    sds = shard_dataset(Dataset(values, weights=weights), mesh)
+    assert config.pat_sorted_estep, "default flipped? keep the gate in sync"
+    order = sds.pattern_order_sharded()
+    assert order is not None, "sharded sorted layout must engage"
+    data_s, perm, valid, counts = order
+    S = 8
+    assert data_s.shape[0] == S * sum(counts)
+    # every pattern ceil-balanced: counts_local * S >= global count
+    pidx_h = np.asarray(sds.pattern_info()[0])
+    glob = np.bincount(pidx_h, minlength=P)
+    assert all(S * c >= g for c, g in zip(counts, glob))
+    # valid slots count exactly the real rows
+    assert int(np.asarray(valid).sum()) == sds.padded_len
+
+    m_s = model.iterate(sds)
+    m_d = model.iterate(ds)
+    np.testing.assert_allclose(m_s.transform, m_d.transform, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(m_s.mean, m_d.mean, rtol=1e-9, atol=1e-12)
+    assert np.isclose(m_s.isotropic_noise, m_d.isotropic_noise, rtol=1e-10)
+    mn_s, llks_s = model.iterate_n(sds, 5)
+    mn_d, llks_d = model.iterate_n(ds, 5)
+    np.testing.assert_allclose(np.asarray(llks_s), np.asarray(llks_d), rtol=1e-10)
+    np.testing.assert_allclose(mn_s.transform, mn_d.transform, rtol=1e-8, atol=1e-12)
+    # with_weights twin reuses the cached sorted copy; weights re-sort per call
+    w2 = rng.random(n) + 0.1
+    sds2 = sds.with_weights(w2)
+    assert sds2._pattern_order_sharded is sds._pattern_order_sharded
+    m2_s = model.iterate(sds2)
+    m2_d = model.iterate(ds.with_weights(w2))
+    np.testing.assert_allclose(m2_s.transform, m2_d.transform, rtol=1e-9, atol=1e-12)
+
+
+def test_sharded_pattern_sorted_mixture_em_matches(rng, monkeypatch):
+    """Sharded sorted-segment MIXTURE EM (mix_em_step_pat_sorted /
+    mix_em_n_pat_sorted): the balanced layout's zero-weight duplicate rows
+    are neutral in every mixture statistic including the weight-scaled
+    resp_max (pmax-combined), so sharded == unsharded exactly."""
+    from ppca_rs_tpu.config import config
+
+    monkeypatch.setattr(config, "pat_sorted_min_rows", 0)  # tiny parity shapes
+    n, d, k, P, M = 203, 8, 3, 4, 3
+    pats = rng.random((P, d)) < 0.6
+    idx = rng.integers(0, P, size=n)
+    values = rng.normal(size=(n, d))
+    values[~pats[idx]] = np.nan
+    weights = rng.random(n) + 0.5
+    models = [
+        PPCAModel(isotropic_noise=0.3 + 0.1 * i,
+                  transform=rng.normal(size=(d, k)), mean=rng.normal(size=d))
+        for i in range(M)
+    ]
+    mix = PPCAMix(models, np.log(np.array([0.5, 0.3, 0.2])))
+    ds = Dataset(values, weights=weights)
+    mesh = make_mesh(data=8, model=1)
+    sds = shard_dataset(Dataset(values, weights=weights), mesh)
+    assert sds.pattern_order_sharded() is not None
+    m_s = mix.iterate(sds)
+    m_d = mix.iterate(ds)
+    np.testing.assert_allclose(
+        np.asarray(m_s.log_weights), np.asarray(m_d.log_weights),
+        rtol=1e-9, atol=1e-12,
+    )
+    for a, b in zip(m_s.models, m_d.models):
+        np.testing.assert_allclose(a.transform, b.transform, rtol=1e-8, atol=1e-11)
+        assert np.isclose(a.isotropic_noise, b.isotropic_noise, rtol=1e-9)
+    ms_n, llks_s = mix.iterate_n(sds, 4)
+    md_n, llks_d = mix.iterate_n(ds, 4)
+    np.testing.assert_allclose(np.asarray(llks_s), np.asarray(llks_d), rtol=1e-10)
+
+
 def test_shard_dataset_requires_divisible_d(rng):
     _, ds = make_data(rng, n=16, d=7)
     mesh = make_mesh(data=4, model=2)
