@@ -11,8 +11,13 @@ tpu-check:
 	python tools/tpu_check.py
 	PYTHONPATH=.:$$PYTHONPATH python examples/toy_model.py
 
+# -n 4 (pytest-xdist): the suite compiles ~hundreds of XLA:CPU programs;
+# in ONE process the accumulated compiler state can segfault the XLA:CPU
+# compiler near the end of the run (observed round 5 on two different
+# tests' compiles).  Four worker processes isolate the state and are also
+# ~25% faster end to end.
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -n 4
 
 test-fast:
 	python -m pytest tests/ -x -q -k "not sharding"
