@@ -81,7 +81,11 @@ def llks(C, mean, sigma, data, *, axis_model: Optional[str] = None) -> jax.Array
     post = dense_posterior(C, sigma, axis_model)
     b, rnorm = _centered_products(C, mean, data, axis_model)
     quad = (rnorm - jnp.sum((b @ post.Minv) * b, axis=-1)) / (sigma * sigma)
-    d_obs = _psum(jnp.asarray(data.shape[1], data.dtype), axis_model)
+    # COMPUTE dtype, never the storage dtype: a bf16 d_obs would drag the
+    # weakly-typed LN_2PI constant down to bf16 (1.836 vs 1.8379 — a ~1e-3
+    # shift on every llk; caught by test_dense_bf16_storage_fold_matches_f32).
+    d_obs = _psum(jnp.asarray(data.shape[1], compute_dtype(data.dtype, C.dtype)),
+                  axis_model)
     logdet = post.logdet + 2.0 * jnp.log(sigma) * (d_obs - k)
     return -0.5 * (quad + logdet + LN_2PI * d_obs)
 
@@ -158,7 +162,26 @@ def em_stats(C, mean, sigma, data, weights, *, block_size: int,
         sw = s * w[:, None]
         sw_sum = jnp.sum(sw, axis=0)                            # (k,)
         w_sum = jnp.sum(w)
-        cross = R.T @ sw                                        # (D_loc, k)
+        from ..config import config as _cfg
+        if _cfg.dense_fold_bf16 and jnp.dtype(data.dtype).itemsize < 4:
+            # Sub-4-byte value storage (bf16): the scan body is HBM-READ
+            # bound, so fold the w @ R matvec into the cross matmul as one
+            # extra column — R^T [sw | w] costs no extra MXU tiles (k=64 ->
+            # 65 stays inside one 128-lane tile) and removes a full
+            # (B, D_loc) pass over the block.  Measured on v5e (D=1024,
+            # k=64, 262k rows, marginal): 2.64 -> 1.73 ms/iter (+53%,
+            # 151M samples/s — at the ~820 GB/s HBM roofline) in one tunnel
+            # window; a degraded window later measured both arms neutral at
+            # ~2.8 ms (config.dense_fold_bf16 notes).  At f32 the SAME fold
+            # measures -11% (XLA already multi-output-fuses the matvec
+            # there and the concat only adds overhead) — hence the static
+            # storage-dtype gate.
+            rts = R.T @ jnp.concatenate([sw, w[:, None]], axis=1)
+            cross = rts[:, :k]                                  # (D_loc, k)
+            wR = rts[:, k]                                      # (D_loc,)
+        else:
+            cross = R.T @ sw                                    # (D_loc, k)
+            wR = w @ R                                          # (D_loc,)
         S_part = s.T @ sw                                       # (k, k)
         rnorm = _psum(jnp.sum(R * R, axis=-1), axis_model)
         bs = jnp.sum(b * s, axis=-1)
@@ -167,7 +190,7 @@ def em_stats(C, mean, sigma, data, weights, *, block_size: int,
         # sum would NaN the sigma update via sqrt.
         dev_sq = jnp.sum(w * jnp.maximum(
             rnorm - bs - sigma2 * jnp.sum(s * s, axis=-1), 0.0))
-        total_dev = w @ R - C @ sw_sum                          # (D_loc,)
+        total_dev = wR - C @ sw_sum                             # (D_loc,)
         quad = (rnorm - bs) / sigma2
         llk_b = -0.5 * (quad + logdet_obs + LN_2PI * d_obs)
         llk = jnp.sum(w * llk_b)
