@@ -629,6 +629,11 @@ def em_stats(
             s2 = jnp.sum(s_t * s_t, axis=0)
             # clamp: epsilon-negative in f32 iff |dev|^2 ~ 0 (see dense_fast)
             dev_sq = jnp.sum(w * jnp.maximum(rn - bs - (sigma * sigma) * s2, 0.0))
+            # NOTE round 5: folding the w @ R / w @ mask_f matvecs into the
+            # cross/msw dots as an extra sw_t row measured NEUTRAL on v5e
+            # (64.19 -> 64.01 ms/iter at the D=1024/k=64/262k marginal) —
+            # XLA already fuses these matvec passes.  Don't re-try; the
+            # same fold only pays on the bf16 DENSE path (dense_fast).
             msw = lax.dot_general(mask_f, sw_t, (((0,), (1,)), ((), ())))
             total_dev = w @ R - jnp.sum(C * msw, axis=-1)
             totals = w @ mask_f
