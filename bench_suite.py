@@ -286,9 +286,23 @@ def main():
                  f"(D={D}, k={k}, N=1M, 50% missing; detect {detect:.1f}s once; "
                  f"{iters}-iter scan)",
                  f"{dt / iters:.3f}s/iter", f"{N * iters / dt:,.0f} samples/s"))
+
+    # 6b. Same, bf16 value storage (the sorted path is HBM-read-bound) ------
+    pds16 = Dataset.from_parts(data.astype(jnp.bfloat16), mask)
+    assert pds16.pattern_info() is not None
+    model16 = PPCAModel.init(k, pds16, key=jax.random.PRNGKey(10))
+    wm16, _ = PPCAModel.init(k, pds16, key=jax.random.PRNGKey(11)).iterate_n(pds16, iters)
+    jax.block_until_ready(wm16._transform)
+    t0 = time.perf_counter()
+    model16, _ = model16.iterate_n(pds16, iters)
+    jax.block_until_ready(model16._transform)
+    dt = time.perf_counter() - t0
+    rows.append((f"structured missingness P={Pn}, bf16 storage "
+                 f"(D={D}, k={k}, N=1M, {iters}-iter scan)",
+                 f"{dt / iters:.3f}s/iter", f"{N * iters / dt:,.0f} samples/s"))
     # free the ~5 GB of section-4..6 device arrays before the 12 GB
     # bf16-storage row below — keeping them resident OOMs the 16 GB chip
-    del pds, model, data, mask, dds, wm
+    del pds, model, data, mask, dds, wm, pds16, model16, wm16
     import gc
 
     gc.collect()
