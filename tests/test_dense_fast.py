@@ -129,6 +129,10 @@ def test_dense_bf16_storage_fold_matches_f32(rng):
         weights=jnp.asarray(weights),
     )
     assert ds16.all_observed() and ds32.all_observed()
+    # weights must NEVER inherit the bf16 storage dtype (from_parts guard):
+    # they carry mixture responsibilities, where 0.4% quantization would
+    # perturb the outer EM.
+    assert ds16.weights_dev.dtype == np.float32
     model = PPCAModel._from_params(
         jnp.asarray(C, jnp.float32),
         jnp.asarray(mean, jnp.float32),
