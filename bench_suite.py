@@ -178,7 +178,7 @@ def main():
     rows.append((f"dense fully-observed EM (D={D}, k={k}, N=1M, 5-iter scan)",
                  f"{dt / 5:.3f}s/iter", f"{N * 5 / dt:,.0f} samples/s"))
 
-    # 3c. Same, bf16 value storage (halved HBM reads + the w@R fold) --------
+    # 3c. Same, bf16 value storage (halved HBM reads) -----------------------
     dds16 = dds_full.astype(jnp.bfloat16)
     dmodel16 = PPCAModel.init(k, dds16, key=jax.random.PRNGKey(22))
     wm16, _ = PPCAModel.init(k, dds16, key=jax.random.PRNGKey(23)).iterate_n(dds16, 5)

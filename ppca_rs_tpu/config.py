@@ -72,17 +72,6 @@ class Config:
     #: +15.5% with s_slab_stats; fused mix k=32 +6.9%, k=64 +7.4% combined.
     g_slab_inputs: bool = True
 
-    #: Dense fully-observed path, sub-4-byte (bf16) value storage only:
-    #: fold the ``w @ R`` matvec into the cross matmul as one extra column
-    #: (``R^T [sw | w]``), removing one full (B, D) HBM pass per block of
-    #: the read-bound scan body.  Exact reordering; gated to bf16 because
-    #: at f32 XLA already multi-output-fuses the matvec and the fold
-    #: measured -11% there.  bf16 A/B on v5e (D=1024/k=64/262k marginal):
-    #: 2.64 -> 1.73 ms/iter (+53%) in one tunnel window; a later degraded
-    #: window measured both arms at ~2.8 ms (neutral) — see
-    #: logs/r5b_dense_fold.log.  Opt out with PPCA_RS_TPU_NO_DENSE_FOLD.
-    dense_fold_bf16: bool = True
-
     #: Route state sizes past the fused kernel's VMEM ceiling through the
     #: blocked Schur-complement inverse (ops/block_spd.py): batched MXU
     #: matmuls + Pallas base blocks, size-generic in k.  When False those
@@ -179,8 +168,6 @@ if _env_flag("PPCA_RS_TPU_NO_NATIVE"):
     config.use_native = False
 if _env_flag("PPCA_RS_TPU_NO_BLOCKED_LARGE_K"):
     config.use_blocked_large_k = False
-if _env_flag("PPCA_RS_TPU_NO_DENSE_FOLD"):
-    config.dense_fold_bf16 = False
 if _env_flag("PPCA_RS_TPU_S_SLAB_STATS"):
     config.s_slab_stats = True
 if _env_flag("PPCA_RS_TPU_G_SLAB_INPUTS"):

@@ -162,26 +162,15 @@ def em_stats(C, mean, sigma, data, weights, *, block_size: int,
         sw = s * w[:, None]
         sw_sum = jnp.sum(sw, axis=0)                            # (k,)
         w_sum = jnp.sum(w)
-        from ..config import config as _cfg
-        if _cfg.dense_fold_bf16 and jnp.dtype(data.dtype).itemsize < 4:
-            # Sub-4-byte value storage (bf16): the scan body is HBM-READ
-            # bound, so fold the w @ R matvec into the cross matmul as one
-            # extra column — R^T [sw | w] costs no extra MXU tiles (k=64 ->
-            # 65 stays inside one 128-lane tile) and removes a full
-            # (B, D_loc) pass over the block.  Measured on v5e (D=1024,
-            # k=64, 262k rows, marginal): 2.64 -> 1.73 ms/iter (+53%,
-            # 151M samples/s — at the ~820 GB/s HBM roofline) in one tunnel
-            # window; a degraded window later measured both arms neutral at
-            # ~2.8 ms (config.dense_fold_bf16 notes).  At f32 the SAME fold
-            # measures -11% (XLA already multi-output-fuses the matvec
-            # there and the concat only adds overhead) — hence the static
-            # storage-dtype gate.
-            rts = R.T @ jnp.concatenate([sw, w[:, None]], axis=1)
-            cross = rts[:, :k]                                  # (D_loc, k)
-            wR = rts[:, k]                                      # (D_loc,)
-        else:
-            cross = R.T @ sw                                    # (D_loc, k)
-            wR = w @ R                                          # (D_loc,)
+        # NOTE round 5: folding the w @ R matvec into this matmul as an
+        # extra column (R^T [sw | w]) was built, measured and DELETED:
+        # -11% at f32 and neutral at bf16 in interleaved same-window A/Bs
+        # (2.89/2.93 vs 2.92 ms/iter; logs/r5b_dense_fold.log — one early
+        # 1.73 ms fold reading was a tunnel artifact).  XLA already
+        # multi-output-fuses these matvec passes; don't re-try matvec
+        # folds (same verdict as the masked path and the seg-Gram kernel).
+        cross = R.T @ sw                                        # (D_loc, k)
+        wR = w @ R                                              # (D_loc,)
         S_part = s.T @ sw                                       # (k, k)
         rnorm = _psum(jnp.sum(R * R, axis=-1), axis_model)
         bs = jnp.sum(b * s, axis=-1)

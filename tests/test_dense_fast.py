@@ -103,12 +103,13 @@ def test_dense_training_converges(rng):
     assert all(b >= a - 1e-7 for a, b in zip(seen, seen[1:]))
 
 
-def test_dense_bf16_storage_fold_matches_f32(rng):
-    """bf16 value storage takes the folded R^T [sw | w] branch in
-    dense_fast.em_stats (the HBM-read-bound fold, +53% measured on v5e).
-    Pin its exactness: the SAME bf16-representable values stored as bf16 and
-    as f32 must produce near-identical EM results (both compute in f32; the
-    only difference is the fold's summation order)."""
+def test_dense_bf16_storage_matches_f32(rng):
+    """bf16 value storage on the dense path (HBM-read-bound: ~1.8x measured
+    on v5e) is a STORAGE change only — the SAME bf16-representable values
+    stored as bf16 and as f32 must produce near-identical EM results (math
+    is f32 both ways).  Also pins the llks d_obs compute-dtype fix (a bf16
+    d_obs dragged the weakly-typed LN_2PI constant to bf16, shifting every
+    llk by ~1e-3) and the from_parts weights-dtype guard."""
     import jax.numpy as jnp
 
     d, k, n = 10, 3, 300
